@@ -1,0 +1,113 @@
+"""Farthest-point sampling (FPS), TPU-native.
+
+Capability parity with the reference's three FPS copies
+(``src/data/sampler.py:4-30``, ``src/data/sampler.py:98-143``,
+``src/models/pix4point.py:8-53``), re-designed for XLA:
+
+- one implementation, batched, static shapes, jit-able;
+- the sequential farthest-point recurrence is expressed as a ``lax.fori_loop``
+  whose carry (the running min-distance field) stays on device for all
+  iterations, instead of the reference's per-iteration advanced-indexing
+  round-trips;
+- the start point is driven by an explicit PRNG key (deterministic under jit)
+  rather than ``torch.randint`` hidden state.
+
+The algorithm is inherently sequential in the number of samples S: each step
+does a batched (B, N) distance update + argmax, which XLA maps onto the VPU.
+A fused Pallas variant that keeps coordinates and the distance field in VMEM
+across all S iterations lives in :mod:`pointvit_tpu.ops.pallas_fps` and is
+selected via ``implementation='pallas'``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["farthest_point_sample", "fps_gather"]
+
+
+def _fps_xla(xyz: jax.Array, num_samples: int, start: jax.Array) -> jax.Array:
+    """Batched FPS core. xyz: (B, N, 3) f32; start: (B,) int32 start indices.
+
+    Returns (B, num_samples) int32 indices into N.
+    """
+    B, N, _ = xyz.shape
+
+    def body(i, carry):
+        min_dist, farthest, idx = carry
+        idx = lax.dynamic_update_index_in_dim(idx, farthest, i, axis=1)
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum(jnp.square(xyz - centroid), axis=-1)  # (B,N)
+        min_dist = jnp.minimum(min_dist, d)
+        farthest = jnp.argmax(min_dist, axis=-1).astype(jnp.int32)
+        return min_dist, farthest, idx
+
+    init = (
+        jnp.full((B, N), jnp.inf, dtype=xyz.dtype),
+        start.astype(jnp.int32),
+        jnp.zeros((B, num_samples), dtype=jnp.int32),
+    )
+    _, _, idx = lax.fori_loop(0, num_samples, body, init)
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "implementation"))
+def farthest_point_sample(
+    xyz: jax.Array,
+    num_samples: int,
+    *,
+    key: jax.Array | None = None,
+    implementation: str = "xla",
+) -> jax.Array:
+    """Select ``num_samples`` well-spread point indices per cloud.
+
+    Args:
+        xyz: (B, N, 3) point coordinates. Any float dtype (kept as-is; distances
+            are accumulated in the input dtype — pass f32 for exactness).
+        num_samples: static number of points to select; must satisfy
+            ``num_samples <= N`` (the reference silently clamps via
+            ``min(n_samples, N)`` — here shapes are static so we assert).
+        key: optional PRNG key for the random start point (reference:
+            ``torch.randint`` at sampler.py:20 / pix4point.py:30). ``None``
+            starts deterministically at index 0.
+        implementation: 'xla' (lax.fori_loop) or 'pallas' (fused VMEM kernel).
+
+    Returns:
+        (B, num_samples) int32 indices.
+    """
+    if xyz.ndim != 3:
+        raise ValueError(f"xyz must be (B, N, 3), got {xyz.shape}")
+    B, N, _ = xyz.shape
+    if num_samples > N:
+        raise ValueError(f"num_samples={num_samples} > N={N}; shapes are static on TPU")
+
+    if key is None:
+        start = jnp.zeros((B,), dtype=jnp.int32)
+    else:
+        start = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    if implementation == "pallas":
+        from pointvit_tpu.ops.pallas_fps import fps_pallas
+
+        return fps_pallas(xyz, num_samples, start)
+    if implementation != "xla":
+        raise ValueError(f"unknown implementation: {implementation!r}")
+    return _fps_xla(xyz, num_samples, start)
+
+
+def fps_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-batch rows by index (reference ``index_points``, sampler.py:77-94).
+
+    points: (B, N, C); idx: (B, S) or (B, S, K) int → (B, S, C) / (B, S, K, C).
+    """
+    if idx.ndim == 2:
+        return jnp.take_along_axis(points, idx[..., None], axis=1)
+    if idx.ndim == 3:
+        B, S, K = idx.shape
+        flat = jnp.take_along_axis(points, idx.reshape(B, S * K)[..., None], axis=1)
+        return flat.reshape(B, S, K, points.shape[-1])
+    raise ValueError(f"idx must be rank 2 or 3, got {idx.shape}")

@@ -1,0 +1,121 @@
+"""Point-cloud grouping pipelines: FPS centers → kNN neighbourhoods → serialization.
+
+One shared implementation of the tokenizer front-end replacing the reference's
+two private copies:
+
+- :func:`apf_group` — the APF ``Group`` module (``src/models/apf.py:12-112``):
+  FPS centers, kNN gather of the full feature channels, centre-relative
+  normalization, concat of the centre feature, then Morton-sort of groups and
+  centers along the Z-order curve of the center coordinates.
+- :func:`p3_group` — one stage of Pix4Point's ``P3Embed`` grouping
+  (``src/models/pix4point.py:166-182``): FPS centers + kNN gather of points
+  and features; grouped coordinates stay *absolute* (reference semantics) or
+  centre-relative behind a flag.
+
+Everything is jit-able with static shapes and runs on device as part of the
+model's forward graph — tokenization is no longer a host-side preprocessing
+concern.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pointvit_tpu.ops.fps import farthest_point_sample, fps_gather
+from pointvit_tpu.ops.knn import knn_gather, knn_group, knn_indices
+from pointvit_tpu.ops.morton import morton_argsort
+
+__all__ = ["apf_group", "p3_group"]
+
+
+@functools.partial(jax.jit, static_argnames=("num_group", "group_size"))
+def apf_group(
+    x: jax.Array,
+    xyz: jax.Array,
+    num_group: int,
+    group_size: int,
+    *,
+    key: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Group features around FPS centers and serialize by Morton order.
+
+    Args:
+        x: (B, N, C) per-point features (xyz [+ height] channels for APF).
+        xyz: (B, N, 3) coordinates used for sampling/ordering.
+        num_group: number of groups G (static).
+        group_size: points per group K (static).
+        key: optional PRNG key for the FPS start point.
+
+    Returns:
+        neighborhood: (B, G, K, 2C) — centre-relative neighbour features
+            concatenated with the (repeated) centre feature, groups ordered
+            along the Morton curve of their centers (apf.py:82-105).
+        center: (B, G, 3) Morton-ordered group centers.
+    """
+    fps_idx = farthest_point_sample(xyz, num_group, key=key)  # (B, G)
+    center = fps_gather(xyz, fps_idx)  # (B, G, 3)
+    center_feat = fps_gather(x, fps_idx)  # (B, G, C)
+
+    idx = knn_indices(center, xyz, group_size)  # (B, G, K)
+    neighborhood = knn_gather(x, idx)  # (B, G, K, C)
+
+    # Centre-relative normalization over the full feature channels, then
+    # concat the centre feature (apf.py:83-95).
+    neighborhood = neighborhood - center_feat[:, :, None, :]
+    neighborhood = jnp.concatenate(
+        [
+            neighborhood,
+            jnp.broadcast_to(
+                center_feat[:, :, None, :], neighborhood.shape
+            ),
+        ],
+        axis=-1,
+    )
+
+    # Serialize groups along the Z-order curve of the centers (apf.py:97-110).
+    order = morton_argsort(center)  # (B, G)
+    neighborhood = jnp.take_along_axis(
+        neighborhood, order[:, :, None, None], axis=1
+    )
+    center = jnp.take_along_axis(center, order[:, :, None], axis=1)
+    return neighborhood, center
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "k", "relative_pos")
+)
+def p3_group(
+    points: jax.Array,
+    features: jax.Array,
+    num_samples: int,
+    k: int,
+    *,
+    key: jax.Array | None = None,
+    relative_pos: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One progressive-tokenizer grouping stage (Pix4Point P3Embed).
+
+    Args:
+        points: (B, N, 3) current-stage coordinates.
+        features: (B, N, D) current-stage features.
+        num_samples: FPS centre count S (static).
+        k: neighbour count (static).
+        key: optional PRNG key for the FPS start point.
+        relative_pos: if True, return centre-relative grouped coordinates
+            (the Pix4Point paper's semantics); False matches the reference
+            implementation, which feeds *absolute* neighbour coordinates to
+            the conv stack (pix4point.py:178-182).
+
+    Returns:
+        (centers (B, S, 3), grouped_points (B, S, k, 3),
+         grouped_features (B, S, k, D)).
+    """
+    fps_idx = farthest_point_sample(points, num_samples, key=key)
+    centers = fps_gather(points, fps_idx)  # (B, S, 3)
+    grouped_points, grouped_features = knn_group(points, centers, features, k)
+    if relative_pos:
+        grouped_points = grouped_points - centers[:, :, None, :]
+    return centers, grouped_points, grouped_features
