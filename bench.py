@@ -1,0 +1,89 @@
+"""Benchmark: APF flagship inference throughput, clouds/sec/chip.
+
+North-star metric (BASELINE.md): ModelNet40-style classification of 1024-pt
+clouds through the full APF pipeline — on-device FPS+kNN+Morton tokenizer,
+mini-PointNet embedding, 12 adapter-ViT-B blocks, head — in bf16, target
+≥5,000 clouds/sec/chip. Clouds are synthetic (the environment ships no
+datasets); throughput is shape-dependent only.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "clouds/sec/chip", "vs_baseline": N}
+plus auxiliary metrics (tokenizer µs/cloud) on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from pointvit_tpu.models import AdaptPointFormer
+    from pointvit_tpu.ops import apf_group
+
+    batch = 256
+    num_points = 1024
+
+    model = AdaptPointFormer(
+        num_classes=40,
+        in_channels=3,
+        embedding_dim=768,
+        npoint=196,
+        nsample=32,
+        depth=12,
+        num_heads=12,
+        dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(0)
+    points = jax.random.normal(key, (batch, num_points, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, points[:1])
+
+    # NOTE: under the remote-TPU tunnel, block_until_ready() returns before
+    # device execution completes; only a host read of the result forces real
+    # completion. Every timing block therefore ends with float(sum(out)).
+    fwd = jax.jit(lambda v, p: jnp.sum(model.apply(v, p, train=False)))
+    float(fwd(variables, points))  # compile + first execution
+
+    # Steady state: several timed repetitions, best-of policy for stability.
+    reps, iters = 3, 20
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, points)
+        float(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    clouds_per_sec = batch / best
+
+    # Secondary: tokenizer-only µs/cloud (FPS+kNN+Morton grouping).
+    tok = jax.jit(lambda p: jnp.sum(apf_group(p, p, 196, 32)[0]))
+    float(tok(points))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = tok(points)
+    float(o)
+    tok_us = (time.perf_counter() - t0) / iters / batch * 1e6
+    print(
+        f"aux: tokenizer {tok_us:.1f} us/cloud; step {best*1e3:.2f} ms "
+        f"@ batch {batch}; device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "ModelNet40 clouds/sec/chip (1024 pts, APF ViT-B bf16 inference)",
+                "value": round(clouds_per_sec, 1),
+                "unit": "clouds/sec/chip",
+                "vs_baseline": round(clouds_per_sec / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Pix4Point: progressive point-patch tokenizer → pretrained 2D ViT backbone.
+
+Capability rebuild of ``src/models/pix4point.py``. Pipeline: P3Embed
+(FPS+kNN conv tokenizer, 2048 → 512 tokens) → linear proj to ViT width →
+learned 3D positional MLP → prepend cls token → 12 standard ViT blocks with
+the positional embedding *re-added at every block* (pix4point.py:254-255) →
+final LN → global feature = concat(max-pool over tokens, cls token) → MLP
+head.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointvit_tpu.nn.heads import ClsHead
+from pointvit_tpu.nn.pointnet import P3Embed, PosEmbedMLP
+from pointvit_tpu.nn.vit import ViTBlock
+
+__all__ = ["PointViT", "Pix4Point", "pix4point_trainable_mask", "VIT_PRESETS"]
+
+# depth / heads / embed presets for the timm backbones the reference names
+# (train_pix4point.py:7, vit.py:57).
+VIT_PRESETS = {
+    "vit_small_patch16_384.augreg_in21k_ft_in1k": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_small_patch16_384": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_base_patch16_384.augreg_in21k_ft_in1k": dict(embed_dim=768, depth=12, num_heads=12),
+    "vit_base_patch16_384": dict(embed_dim=768, depth=12, num_heads=12),
+    "vit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12),
+}
+
+
+class PointViT(nn.Module):
+    """Point tokenizer + ViT trunk returning the global classification feature.
+
+    Reference: ``PointViT`` (pix4point.py:194-291). ``global_features``
+    follows the reference's iteration order over ``'max,cls'`` — max-pooled
+    tokens first, then the cls token (pix4point.py:260-271).
+    """
+
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    k_neighbors: int = 16
+    in_channels: int = 3
+    global_features: str = "max,cls"
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jax.Array, features: jax.Array | None = None, *, train: bool = False) -> jax.Array:
+        B = points.shape[0]
+        if features is None:
+            features = points  # reference clones coords as features (pix4point.py:237-238)
+
+        centers, tokens = P3Embed(
+            in_channels=self.in_channels,
+            k=self.k_neighbors,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(points, features, train=train)
+
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(tokens)
+        pos = PosEmbedMLP(self.embed_dim, dtype=self.dtype, name="pos_embed")(centers)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, self.embed_dim)
+        )
+        cls_pos = self.param(
+            "cls_pos", nn.initializers.normal(stddev=0.02), (1, 1, self.embed_dim)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1
+        )
+        pos = jnp.concatenate(
+            [jnp.broadcast_to(cls_pos, (B, 1, self.embed_dim)).astype(pos.dtype), pos], axis=1
+        )
+
+        # The positional embedding is re-added before *every* block
+        # (pix4point.py:254-255), not just once.
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.num_heads,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x + pos, deterministic=not train)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+        token_features = x[:, 1:, :]
+        feats = []
+        for token_type in self.global_features.split(","):
+            if "cls" in token_type:
+                feats.append(x[:, 0, :])
+            if "max" in token_type:
+                feats.append(jnp.max(token_features, axis=1))
+        return jnp.concatenate(feats, axis=-1)
+
+
+class Pix4Point(nn.Module):
+    """Full Pix4Point classifier (pix4point.py:328-437)."""
+
+    num_classes: int = 15
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    k_neighbors: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_pretrained_name(cls, pretrained_model: str, **kwargs) -> "Pix4Point":
+        """Build with the depth/heads/width of a named timm backbone."""
+        preset = VIT_PRESETS.get(pretrained_model)
+        if preset is None:
+            raise ValueError(f"unknown backbone preset: {pretrained_model!r}")
+        merged = {**preset, **kwargs}
+        return cls(**merged)
+
+    @nn.compact
+    def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
+        feat = PointViT(
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            k_neighbors=self.k_neighbors,
+            dtype=self.dtype,
+            name="model",
+        )(points, train=train)
+        return ClsHead(self.num_classes, dtype=self.dtype, name="cls_head")(
+            feat, train=train
+        )
+
+
+def pix4point_trainable_mask(params, *, frozen: bool = False):
+    """Trainable-parameter mask. ``frozen=True`` freezes the ViT trunk
+    (blocks, final norm, cls token/pos — reference pattern ``'vit' in name``,
+    pix4point.py:229-232) while the tokenizer, proj, pos-embed MLP, and head
+    train."""
+    import jax.tree_util as jtu
+
+    if not frozen:
+        return jax.tree.map(lambda _: True, params)
+
+    frozen_markers = ("blocks_", "/norm/", "cls_token", "cls_pos")
+
+    def trainable(path) -> bool:
+        keys = "/" + "/".join(
+            p.key for p in path if isinstance(p, jtu.DictKey)
+        ) + "/"
+        return not any(m in keys for m in frozen_markers)
+
+    flat = jtu.tree_flatten_with_path(params)[0]
+    return jtu.tree_unflatten(
+        jtu.tree_structure(params), [trainable(p) for p, _ in flat]
+    )

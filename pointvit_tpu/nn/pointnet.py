@@ -1,0 +1,159 @@
+"""Point-feature encoders: APF mini-PointNet and the Pix4Point P3Embed tokenizer.
+
+The reference expresses these as Conv1d/Conv2d stacks with kernel size 1 over
+channel-first tensors (``src/models/apf.py:114-217``,
+``src/models/pix4point.py:105-191``); a k=1 conv is a pointwise Dense, so here
+they are Dense layers over channel-last tensors — the layout XLA prefers on
+TPU (lanes = features). BatchNorm uses torch's momentum (0.9 in running-stat
+convention) and runs over all leading axes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointvit_tpu.ops.group import p3_group
+
+__all__ = ["GroupFeatureEncoder", "P3Embed", "PosEmbedMLP"]
+
+_BN = dict(momentum=0.9, epsilon=1e-5)
+
+
+class GroupFeatureEncoder(nn.Module):
+    """Per-group shared-MLP encoder producing one token per point group.
+
+    Reference: APF ``Encoder`` (apf.py:114-181). Input (B, G, K, C_in) →
+    first stack (C_in→256→512→E) → max over K → concat(global, local) →
+    second stack (2E→2E→E) → max over K → (B, G, E).
+    """
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, groups: jax.Array, *, train: bool = False) -> jax.Array:
+        E = self.embed_dim
+        B, G, K, C = groups.shape
+        # Flatten groups to 3D (B·G, K, C) — matches the reference's reshape
+        # (apf.py:157) and sidesteps an XLA TPU fusion crash in the backward
+        # select-and-scatter of 4D bf16 max-pools.
+        x = groups.reshape(B * G, K, C)
+        x = nn.Dense(256, dtype=self.dtype, name="first_0")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="first_bn0", **_BN)(x)
+        x = nn.relu(x)
+        x = nn.Dense(512, dtype=self.dtype, name="first_1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="first_bn1", **_BN)(x)
+        x = nn.relu(x)
+        x = nn.Dense(E, dtype=self.dtype, name="first_2")(x)
+
+        g = jnp.max(x, axis=-2, keepdims=True)  # (B·G, 1, E)
+        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (B·G, K, 2E)
+
+        x = nn.Dense(2 * E, dtype=self.dtype, name="second_0")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="second_bn0", **_BN)(x)
+        x = nn.relu(x)
+        x = nn.Dense(E, dtype=self.dtype, name="second_1")(x)
+        return jnp.max(x, axis=-2).reshape(B, G, E)
+
+
+class P3Embed(nn.Module):
+    """Progressive point-patch tokenizer (Pix4Point ``P3Embed``).
+
+    Reference: pix4point.py:105-191. Each stage: FPS to N/4 centers, kNN
+    grouping (absolute neighbour coordinates — reference semantics), concat
+    [coords, features], conv stack 1, concat global max, conv stack 2, max
+    pool → per-center token. With the defaults (sample_ratio=0.25, scale=4)
+    there is exactly one stage: 2048 pts → 512 tokens of dim ``embed_dim``.
+
+    FPS start indices are randomized when an ``'fps'`` PRNG stream is
+    provided to ``apply`` (the reference randomizes every forward,
+    pix4point.py:30); otherwise deterministic at index 0.
+    """
+
+    in_channels: int = 3
+    sample_ratio: float = 0.25
+    scale: int = 4
+    k: int = 16
+    layers: int = 4
+    embed_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, points: jax.Array, features: jax.Array, *, train: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        """points: (B, N, 3); features: (B, N, C_in) → (centers, tokens)."""
+        stages = int(math.log(1 / self.sample_ratio, self.scale))
+        stage_dim = int(self.embed_dim // 2 ** (stages - 1))
+        key = self.make_rng("fps") if self.has_rng("fps") else None
+
+        p, f = points, features
+        in_ch = self.in_channels
+        N = points.shape[1]
+        for s in range(stages):
+            N = N // 4  # reference hard-codes the per-stage ratio (pix4point.py:174)
+            stage_key = None
+            if key is not None:
+                key, stage_key = jax.random.split(key)
+            centers, dp, fj = p3_group(p, f, N, self.k, key=stage_key)
+            x = jnp.concatenate([dp, fj], axis=-1)  # (B, S, k, 3 + in_ch)
+
+            # conv1: Dense(no bias) → Dense(bias) → BN → ReLU  (pix4point.py:137-145)
+            half = self.layers // 2
+            for i in range(half):
+                last = i == half - 1
+                x = nn.Dense(
+                    stage_dim, use_bias=last, dtype=self.dtype, name=f"s{s}_conv1_{i}"
+                )(x)
+                if last:
+                    x = nn.BatchNorm(
+                        use_running_average=not train,
+                        dtype=self.dtype,
+                        name=f"s{s}_conv1_bn",
+                        **_BN,
+                    )(x)
+                    x = nn.relu(x)
+
+            g = jnp.max(x, axis=-2, keepdims=True)
+            x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # 2·dim
+
+            # conv2: (2·dim → 2·dim → dim), each Dense(no bias) → BN → ReLU
+            # (pix4point.py:147-156)
+            widths = [2 * stage_dim] * (half - 1) + [stage_dim]
+            for i, w in enumerate(widths):
+                x = nn.Dense(w, use_bias=False, dtype=self.dtype, name=f"s{s}_conv2_{i}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    dtype=self.dtype,
+                    name=f"s{s}_conv2_bn{i}",
+                    **_BN,
+                )(x)
+                x = nn.relu(x)
+
+            f = jnp.max(x, axis=-2)  # (B, S, dim)
+            p = centers
+            in_ch = stage_dim
+            stage_dim *= 2
+
+        return p, f
+
+
+class PosEmbedMLP(nn.Module):
+    """Learned 3D positional embedding: Dense(3→128) → GELU → Dense(128→E).
+
+    Reference: pix4point.py:214-218.
+    """
+
+    embed_dim: int
+    hidden: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: jax.Array) -> jax.Array:
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(xyz)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)

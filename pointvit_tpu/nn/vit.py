@@ -1,0 +1,197 @@
+"""ViT block zoo and image-ViT backbone, TPU-native Flax.
+
+Three block flavours mirror the reference's three uses of transformer blocks:
+
+- :class:`ViTBlock` — standard pre-norm timm block (used by Pix4Point's
+  backbone, ``src/models/pix4point.py:254-255``).
+- :class:`APFBlock` — APF's parallel-adapter block
+  (``src/models/apf_utils.py:236-293``).
+- :class:`SerialAdapterBlock` — torchvision encoder block with serial
+  adapters after attention and MLP (``src/models/apf_utils.py:328-375``),
+  used per-view by the renderer classifier.
+- :class:`ImageViT` — a torchvision-layout Vision Transformer (patchify conv
+  → cls token → learned pos-embed → encoder blocks → LN → cls feature), the
+  frozen backbone of the renderer path (``src/models/vit.py:6-37``,
+  ``src/models/renderer.py:230-244``).
+
+All blocks take a compute ``dtype`` (bf16 by default at the model level);
+parameters stay f32.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointvit_tpu.nn.layers import (
+    AdapterLayer,
+    Attention,
+    DropPath,
+    Mlp,
+    SimpleAdapter,
+)
+
+__all__ = ["ViTBlock", "APFBlock", "SerialAdapterBlock", "ImageViT"]
+
+
+class ViTBlock(nn.Module):
+    """Standard pre-norm transformer block (timm layout: norm1/attn/norm2/mlp)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(
+            int(dim * self.mlp_ratio),
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        return x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+
+
+class APFBlock(nn.Module):
+    """APF ViT block: attention + parallel bottleneck adapter + MLP.
+
+    Reference combination (apf_utils.py:269-293)::
+
+        x   = x + drop_path(attn(norm1(x)))
+        out = drop_path(mlp(norm2(x))) + adapter(x) + x
+
+    where ``adapter(x)`` *internally* adds its own residual, so the skip path
+    is counted twice (out ≈ mlp + adapter_up + 2x). That is the reference's
+    actual arithmetic and we reproduce it exactly; the adapter's zero-init up
+    projection makes it an identity+x at initialization.
+    """
+
+    num_heads: int
+    adapter_bottleneck: int = 64
+    drop_path_rate: float = 0.0
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="attention")(h)
+        x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+
+        adapt = AdapterLayer(
+            self.adapter_bottleneck,
+            dropout_rate=self.dropout_rate,
+            add_residual=True,
+            dtype=self.dtype,
+            name="adapter",
+        )(x, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(dim * 4, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        h = DropPath(self.drop_path_rate)(h, deterministic=deterministic)
+        return h + adapt + x
+
+
+class SerialAdapterBlock(nn.Module):
+    """Torchvision encoder block with serial adapters (renderer path).
+
+    Layout mirrors ``torchvision.models.vision_transformer.EncoderBlock``
+    with the reference's adapter insertion (apf_utils.py:353-374)::
+
+        y = dropout(self_attention(ln_1(x)));  x = x + adapter1(y)
+        y = mlp(ln_2(x));                      x = x + adapter2(y)
+
+    (each adapter is itself residual: a(y) = y + up(gelu(down(y)))).
+    """
+
+    num_heads: int
+    adapter_bottleneck: int = 64
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="self_attention")(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        h = SimpleAdapter(self.adapter_bottleneck, dtype=self.dtype, name="adapter1")(h)
+        x = x + h
+
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = Mlp(
+            int(dim * self.mlp_ratio),
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        h = SimpleAdapter(self.adapter_bottleneck, dtype=self.dtype, name="adapter2")(h)
+        return x + h
+
+
+class ImageViT(nn.Module):
+    """Torchvision-layout image ViT returning the cls-token feature.
+
+    Matches ``torchvision.models.vit_b_16`` structure consumed by the
+    renderer classifier (renderer.py:230-244): 16×16 patchify conv, cls
+    token, learned positional embedding, ``depth`` encoder blocks (here the
+    adapter-augmented :class:`SerialAdapterBlock`), final LN, cls feature.
+
+    Input is NHWC (TPU-native); the reference's NCHW is a host-format detail.
+    """
+
+    depth: int = 12
+    embed_dim: int = 768
+    num_heads: int = 12
+    patch_size: int = 16
+    adapter_bottleneck: int = 64
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, H, W, _ = images.shape
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="conv_proj",
+        )(images)
+        x = x.reshape(B, -1, self.embed_dim)  # (B, N_patches, E)
+
+        cls = self.param(
+            "class_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1
+        )
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, x.shape[1], self.embed_dim),
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+
+        for i in range(self.depth):
+            x = SerialAdapterBlock(
+                self.num_heads,
+                adapter_bottleneck=self.adapter_bottleneck,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name=f"encoder_layer_{i}",
+            )(x, deterministic=deterministic)
+
+        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return x[:, 0]  # torchvision returns the cls-token feature

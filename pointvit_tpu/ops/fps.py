@@ -55,13 +55,27 @@ def _fps_xla(xyz: jax.Array, num_samples: int, start: jax.Array) -> jax.Array:
     return idx
 
 
+def _default_implementation(batch: int, n_points: int) -> str:
+    """Pallas on TPU (343× faster at batch 256 — the sequential scan stays in
+    VMEM), XLA elsewhere (CPU tests, interpreters). The kernel requires
+    lane-aligned point counts (N % 128 == 0) and full sublane batch blocks
+    (B % 8 == 0 — Mosaic rejects 1-row tiles); other shapes fall back to XLA
+    (e.g. the one-time B=1 model-init trace)."""
+    if n_points % 128 != 0 or batch % 8 != 0:
+        return "xla"
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    except Exception:
+        return "xla"
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "implementation"))
 def farthest_point_sample(
     xyz: jax.Array,
     num_samples: int,
     *,
     key: jax.Array | None = None,
-    implementation: str = "xla",
+    implementation: str | None = None,
 ) -> jax.Array:
     """Select ``num_samples`` well-spread point indices per cloud.
 
@@ -74,7 +88,9 @@ def farthest_point_sample(
         key: optional PRNG key for the random start point (reference:
             ``torch.randint`` at sampler.py:20 / pix4point.py:30). ``None``
             starts deterministically at index 0.
-        implementation: 'xla' (lax.fori_loop) or 'pallas' (fused VMEM kernel).
+        implementation: 'xla' (lax.fori_loop) or 'pallas' (fused VMEM
+            kernel); default picks 'pallas' on TPU, 'xla' elsewhere. Both
+            produce identical selections.
 
     Returns:
         (B, num_samples) int32 indices.
@@ -90,6 +106,8 @@ def farthest_point_sample(
     else:
         start = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
 
+    if implementation is None:
+        implementation = _default_implementation(B, N)
     if implementation == "pallas":
         from pointvit_tpu.ops.pallas_fps import fps_pallas
 

@@ -1,0 +1,10 @@
+"""Device-mesh construction and data-parallel sharding helpers."""
+
+from pointvit_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    batch_sharding,
+)
+
+__all__ = ["make_mesh", "replicate", "shard_batch", "batch_sharding"]

@@ -1,0 +1,92 @@
+"""Checkpoint save/restore with the reference's best/interval policy.
+
+Checkpoints are msgpack-serialized pytrees (flax.serialization) holding the
+same payload the reference torch.saves (apf_trainer.py:329-346): epoch,
+model params (+ batch stats), optimizer state, accuracy, and the model and
+dataset configs. Filenames mirror the reference: ``model_best.msgpack`` /
+``best_model.msgpack`` on test-accuracy improvement and
+``model_epoch_N.msgpack`` every ``save_interval`` epochs.
+
+(Orbax is the usual choice for multi-host async checkpointing; in this
+single-host build msgpack is synchronous, dependency-light, and restores
+without an abstract-tree template.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def save_checkpoint(
+    output_dir: str,
+    filename: str,
+    *,
+    epoch: int,
+    state: Any,
+    accuracy: float,
+    model_config: dict,
+    dataset_config: dict,
+) -> str:
+    """Serialize a train-state checkpoint. Returns the written path."""
+    os.makedirs(output_dir, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "accuracy": float(accuracy),
+    }
+    path = os.path.join(output_dir, filename)
+    # to_state_dict first: optax states are NamedTuples msgpack can't pack raw.
+    with open(path, "wb") as f:
+        f.write(
+            serialization.msgpack_serialize(
+                _to_numpy(serialization.to_state_dict(payload))
+            )
+        )
+    meta = {
+        "epoch": epoch,
+        "accuracy": float(accuracy),
+        "model_config": model_config,
+        "dataset_config": dataset_config,
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_checkpoint(path: str, state: Any | None = None) -> dict:
+    """Restore a checkpoint dict; if ``state`` is given, its params/opt_state
+    structure is used as the deserialization template (exact dtypes/shapes)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if state is not None:
+        template = {
+            "epoch": 0,
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+            "accuracy": 0.0,
+        }
+        raw = serialization.from_state_dict(template, raw)
+    meta_path = path + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            raw["meta"] = json.load(f)
+    return raw
+
+
+def _to_numpy(tree):
+    return jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
+    )

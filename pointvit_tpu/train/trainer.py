@@ -1,0 +1,420 @@
+"""One generic jit-compiled trainer for all three model families.
+
+Replaces the reference's three ~90 %-identical trainer classes
+(``src/train/{apf,pix4point,renderer}_trainer.py``) with a single engine:
+
+- the *entire* step — tokenization, forward, loss, backward, masked optimizer
+  update — is one jit-compiled XLA graph, donated and executed on device;
+- data parallelism: a 1-D ``jax.sharding.Mesh`` over all devices, batches
+  sharded on axis 0, params replicated; XLA inserts the gradient psum over
+  ICI (there is no hand-written collective);
+- freezing is an ``optax.multi_transform`` mask (no parameter surgery);
+- per-epoch metrics accumulate as device scalars and sync once per epoch
+  (the reference syncs per batch via ``.item()``, apf_trainer.py:270);
+- CSV metrics, config snapshot, and best/interval checkpoints mirror the
+  reference's outputs byte-for-byte in layout (T1–T4 in SURVEY.md §2).
+
+Family-specific wrappers (:mod:`pointvit_tpu.train.apf_trainer` etc.) keep
+the reference's config-dict constructor APIs.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from pointvit_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from pointvit_tpu.train.checkpoint import save_checkpoint
+from pointvit_tpu.train.train_utils import save_configs
+
+__all__ = ["TrainState", "Trainer", "cross_entropy_loss", "build_optimizer"]
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Per-example CE with torch-style label smoothing: target distribution
+    (1-s)·onehot + s/K (apf_trainer.py:166-168)."""
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    if label_smoothing > 0:
+        onehot = (1.0 - label_smoothing) * onehot + label_smoothing / num_classes
+    return optax.softmax_cross_entropy(logits, onehot)
+
+
+def build_optimizer(
+    schedule: Callable,
+    *,
+    weight_decay: float,
+    grad_clip: float | None = None,
+    trainable_mask=None,
+    weight_decay_mask=None,
+    betas: tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """AdamW with optional global-norm clipping, frozen-param masking, and
+    per-param weight-decay exclusion (Pix4Point's no-decay groups,
+    pix4point.py:386-401)."""
+    chain = []
+    if grad_clip is not None and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(
+        optax.adamw(
+            schedule,
+            b1=betas[0],
+            b2=betas[1],
+            eps=eps,
+            weight_decay=weight_decay,
+            mask=weight_decay_mask,
+        )
+    )
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {True: tx, False: optax.set_to_zero()}, param_labels=trainable_mask
+        )
+    return tx
+
+
+class Trainer:
+    """Generic trainer engine.
+
+    Args:
+        model: a Flax module with ``__call__(points, train=...)`` → logits.
+        train_dataset / test_dataset: indexable ``(points, label)`` datasets.
+        optimizer: an optax transformation (see :func:`build_optimizer`).
+        schedule: step → lr function (logged to the CSV).
+        batch_size: global batch size (must divide by the mesh size).
+        epochs: total epochs.
+        label_smoothing: CE smoothing factor.
+        output_dir: metrics/checkpoint directory.
+        model_config / dataset_config / train_config: snapshot payloads.
+        log_lr: include a learning_rate CSV column (APF trainer behaviour).
+        best_filename: checkpoint name on test-accuracy improvement
+            ('model_best' for APF, 'best_model' for Pix4Point — reference
+            naming preserved).
+        save_interval: interval-checkpoint cadence in epochs.
+        seed: PRNG seed for init, dropout, FPS starts, and shuffling.
+        mesh: optional pre-built device mesh (default: all devices).
+        loader_cls: batcher class (default :class:`pointvit_tpu.data.Loader`).
+        epoch_hooks: callables ``hook(trainer, epoch)`` run after each epoch
+            (the renderer's rendered-view PNG dumps plug in here).
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        train_dataset,
+        test_dataset,
+        optimizer: optax.GradientTransformation,
+        schedule: Callable | None = None,
+        batch_size: int,
+        epochs: int,
+        label_smoothing: float = 0.0,
+        output_dir: str = "./output",
+        model_config: dict | None = None,
+        dataset_config: dict | None = None,
+        train_config: dict | None = None,
+        log_lr: bool = False,
+        best_filename: str = "model_best",
+        save_interval: int = 0,
+        seed: int = 0,
+        mesh=None,
+        loader_cls=None,
+        epoch_hooks: tuple = (),
+        save_config_snapshot: bool = True,
+    ) -> None:
+        from pointvit_tpu.data.loader import Loader
+
+        self.model = model
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.optimizer = optimizer
+        self.schedule = schedule
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.label_smoothing = label_smoothing
+        self.output_dir = output_dir
+        self.model_config = model_config or {}
+        self.dataset_config = dataset_config or {}
+        self.train_config = train_config or {}
+        self.log_lr = log_lr
+        self.best_filename = best_filename
+        self.save_interval = save_interval
+        self.epoch_hooks = epoch_hooks
+        self._base_key = jax.random.PRNGKey(seed)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = len(self.mesh.devices.flatten())
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size={batch_size} must divide across {n_dev} devices"
+            )
+        self._batch_shard = batch_sharding(self.mesh)
+
+        loader_cls = loader_cls or Loader
+        self.train_loader = loader_cls(
+            train_dataset, batch_size, shuffle=True, drop_last=True, seed=seed
+        )
+        self.test_loader = loader_cls(
+            test_dataset, batch_size, shuffle=False, drop_last=False, seed=seed
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.metrics_csv_path = os.path.join(output_dir, "training_metrics.csv")
+        if save_config_snapshot:
+            save_configs(
+                self.model_config,
+                self.dataset_config,
+                self.train_config,
+                output_dir,
+                device=str(jax.devices()[0]),
+            )
+
+        self.state = self._init_state(seed)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._init_metrics_csv()
+
+    # -- initialization ---------------------------------------------------
+
+    def _example_batch(self) -> tuple[jax.Array, jax.Array]:
+        points, label = self.train_dataset[0]
+        points = jnp.asarray(points)[None].repeat(self.batch_size, axis=0)
+        labels = jnp.full((self.batch_size,), label, dtype=jnp.int32)
+        return points, labels
+
+    def _init_state(self, seed: int) -> TrainState:
+        points, _ = self._example_batch()
+        init_keys = {"params": jax.random.fold_in(self._base_key, 0)}
+        variables = self.model.init(init_keys, points[:1])
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=params,
+            tx=self.optimizer,
+            batch_stats=batch_stats,
+        )
+        return replicate(state, self.mesh)
+
+    # -- steps ------------------------------------------------------------
+
+    def _apply_train(self, params, batch_stats, points, rngs):
+        if batch_stats:
+            logits, updated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                points,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return logits, updated["batch_stats"]
+        # No BatchNorm anywhere in the model (e.g. fixed-view renderer):
+        # plain apply — passing mutable=[] would still return a tuple.
+        logits = self.model.apply(
+            {"params": params}, points, train=True, rngs=rngs
+        )
+        return logits, batch_stats
+
+    def _train_step_impl(self, state: TrainState, points, labels, step_key):
+        rngs = {
+            "dropout": jax.random.fold_in(step_key, 0),
+            "fps": jax.random.fold_in(step_key, 1),
+        }
+
+        def loss_fn(params):
+            logits, new_stats = self._apply_train(
+                params, state.batch_stats, points, rngs
+            )
+            loss = jnp.mean(
+                cross_entropy_loss(
+                    logits.astype(jnp.float32), labels, self.label_smoothing
+                )
+            )
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return state, loss, correct
+
+    def _eval_step_impl(self, state: TrainState, points, labels, weights):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = self.model.apply(variables, points, train=False)
+        per_example = cross_entropy_loss(
+            logits.astype(jnp.float32), labels, self.label_smoothing
+        )
+        loss_sum = jnp.sum(per_example * weights)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
+        return loss_sum, correct
+
+    def _shard(self, points: np.ndarray, labels: np.ndarray):
+        return (
+            jax.device_put(jnp.asarray(points), self._batch_shard),
+            jax.device_put(jnp.asarray(labels, jnp.int32), self._batch_shard),
+        )
+
+    # -- epochs -----------------------------------------------------------
+
+    def _train_epoch(self, epoch: int) -> tuple[float, float]:
+        loss_sum = jnp.zeros(())
+        correct_sum = jnp.zeros(())
+        count = 0
+        num_batches = 0
+        for i, (points, labels) in enumerate(self.train_loader):
+            step_key = jax.random.fold_in(
+                jax.random.fold_in(self._base_key, 1 + epoch), i
+            )
+            pts, lbl = self._shard(points, labels)
+            self.state, loss, correct = self._train_step(
+                self.state, pts, lbl, step_key
+            )
+            loss_sum = loss_sum + loss
+            correct_sum = correct_sum + correct
+            count += len(labels)
+            num_batches += 1
+        if num_batches == 0:
+            return 0.0, 0.0
+        return float(loss_sum) / num_batches, float(correct_sum) / count
+
+    def _pad_eval_batch(self, points, labels):
+        """Pad ragged final batches to the static batch size with zero-weight
+        rows — one compiled eval graph, mesh-divisible shapes."""
+        n = len(labels)
+        weights = np.zeros((self.batch_size,), np.float32)
+        weights[:n] = 1.0
+        if n < self.batch_size:
+            pad = self.batch_size - n
+            points = np.concatenate(
+                [points, np.repeat(points[:1], pad, axis=0)], axis=0
+            )
+            labels = np.concatenate([labels, np.repeat(labels[:1], pad)], axis=0)
+        return points, labels, weights
+
+    def _test_epoch(self) -> tuple[float, float]:
+        loss_sum = jnp.zeros(())
+        correct_sum = jnp.zeros(())
+        count = 0
+        for points, labels in self.test_loader:
+            count += len(labels)
+            points, labels, weights = self._pad_eval_batch(points, labels)
+            pts, lbl = self._shard(points, labels)
+            w = jax.device_put(jnp.asarray(weights), self._batch_shard)
+            loss, correct = self._eval_step(self.state, pts, lbl, w)
+            loss_sum = loss_sum + loss
+            correct_sum = correct_sum + correct
+        if count == 0:
+            return 0.0, 0.0
+        return float(loss_sum) / count, float(correct_sum) / count
+
+    # -- metrics / checkpoints -------------------------------------------
+
+    def _init_metrics_csv(self) -> None:
+        headers = ["epoch", "train_loss", "train_accuracy", "test_loss", "test_accuracy"]
+        if self.log_lr:
+            headers.append("learning_rate")
+        with open(self.metrics_csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(headers)
+
+    def _current_lr(self) -> float:
+        if self.schedule is None:
+            return 0.0
+        return float(self.schedule(self.state.step))
+
+    def _update_metrics_csv(self, epoch, train_loss, train_acc, test_loss, test_acc):
+        row = [epoch + 1, train_loss, train_acc, test_loss, test_acc]
+        if self.log_lr:
+            row.append(self._current_lr())
+        with open(self.metrics_csv_path, "a", newline="") as f:
+            csv.writer(f).writerow(row)
+
+    def _save_checkpoint(self, filename: str, epoch: int, accuracy: float) -> None:
+        save_checkpoint(
+            self.output_dir,
+            filename,
+            epoch=epoch,
+            state=self.state,
+            accuracy=accuracy,
+            model_config=self.model_config,
+            dataset_config=self.dataset_config,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore params/batch_stats/opt_state/step from a checkpoint file."""
+        from pointvit_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path, self.state)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        self.state = replicate(self.state, self.mesh)
+        print(
+            f"Loaded checkpoint from epoch {restored['epoch']} "
+            f"with accuracy {restored['accuracy']:.4f}"
+        )
+
+    # -- main loop --------------------------------------------------------
+
+    def train(self) -> float:
+        """Run the full training loop; returns best test accuracy."""
+        best_acc = 0.0
+        for epoch in range(self.epochs):
+            t0 = time.time()
+            train_loss, train_acc = self._train_epoch(epoch)
+            test_loss, test_acc = self._test_epoch()
+            self._update_metrics_csv(epoch, train_loss, train_acc, test_loss, test_acc)
+
+            if test_acc > best_acc:
+                best_acc = test_acc
+                self._save_checkpoint(f"{self.best_filename}.msgpack", epoch, test_acc)
+            if self.save_interval and (epoch + 1) % self.save_interval == 0:
+                self._save_checkpoint(f"model_epoch_{epoch+1}.msgpack", epoch, test_acc)
+
+            for hook in self.epoch_hooks:
+                hook(self, epoch)
+
+            dt = time.time() - t0
+            msg = (
+                f"Epoch {epoch+1}/{self.epochs} [{dt:.1f}s]  "
+                f"train loss {train_loss:.4f} acc {train_acc:.4f}  "
+                f"test loss {test_loss:.4f} acc {test_acc:.4f}"
+            )
+            if self.log_lr:
+                msg += f"  lr {self._current_lr():.6f}"
+            print(msg)
+        print(f"\nTraining completed. Best test accuracy: {best_acc:.4f}")
+        print(f"Training metrics saved to {self.metrics_csv_path}")
+        return best_acc
+
+    # -- inference --------------------------------------------------------
+
+    def predict(self, points: np.ndarray) -> np.ndarray:
+        """Class predictions for a batch of clouds (renderer_trainer.py:431-445)."""
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        logits = self.model.apply(variables, jnp.asarray(points), train=False)
+        return np.asarray(jnp.argmax(logits, -1))

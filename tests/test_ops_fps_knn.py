@@ -121,3 +121,18 @@ def test_knn_group_shapes_and_absolute_coords(rng):
     # Each centroid is its own nearest neighbour → first grouped point equals
     # the centroid itself (absolute coordinates, reference semantics).
     np.testing.assert_allclose(np.asarray(gp)[:, :, 0, :], ctr, atol=1e-6)
+
+
+def test_fps_pallas_interpret_matches_xla(rng):
+    # The Pallas kernel (interpret mode on CPU) must select identically to
+    # the XLA implementation, including tie-breaking.
+    import jax.numpy as jnp
+
+    from pointvit_tpu.ops.fps import _fps_xla
+    from pointvit_tpu.ops.pallas_fps import fps_pallas
+
+    xyz = jnp.asarray(rng.standard_normal((8, 128, 3)).astype(np.float32))
+    start = jnp.asarray([0, 5, 17, 99, 1, 42, 77, 127], dtype=jnp.int32)
+    ix = np.asarray(_fps_xla(xyz, 48, start))
+    ip = np.asarray(fps_pallas(xyz, 48, start, interpret=True))
+    np.testing.assert_array_equal(ix, ip)
