@@ -54,29 +54,55 @@ class Mlp(nn.Module):
         return x
 
 
+def _use_fused_attention() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with fused qkv projection.
 
     Parameter layout matches timm/the reference ``AttentionLayer``
     (apf_utils.py:106-160): one ``qkv`` Dense of width 3·dim and a ``proj``
-    output Dense. The attention contraction itself uses
-    ``jax.nn.dot_product_attention`` so XLA emits its fused flash-style
-    kernel; sequence lengths here are tiny (≤513) so this is MXU-bound.
+    output Dense. On TPU the attention contraction runs in the fused Pallas
+    kernel (:mod:`pointvit_tpu.ops.pallas_attention`) — sequences here are a
+    single VMEM tile, so the (B, H, S, S) probability tensor never touches
+    HBM; elsewhere (CPU tests) the einsum reference path is used.
+    ``implementation`` forces 'fused' / 'einsum' / 'xla'.
     """
 
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        out = jax.nn.dot_product_attention(q, k, v)
-        out = out.reshape(B, N, C)
+
+        impl = self.implementation
+        if impl is None:
+            impl = "fused" if _use_fused_attention() else "einsum"
+        if impl == "fused":
+            # Packed-qkv kernel: the (B, N, 3C) projection feeds straight
+            # into VMEM — no q/k/v slice copies in HBM.
+            from pointvit_tpu.ops.pallas_attention import fused_mha_qkv
+
+            out = fused_mha_qkv(qkv, self.num_heads)
+        else:
+            r = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]  # (B, N, H, D)
+            if impl == "einsum":
+                from pointvit_tpu.ops.pallas_attention import reference_mha
+
+                out = reference_mha(q, k, v)
+            else:
+                out = jax.nn.dot_product_attention(q, k, v)
+            out = out.reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 

@@ -31,6 +31,33 @@ from pointvit_tpu.ops.morton import morton_argsort
 __all__ = ["apf_group", "p3_group"]
 
 
+def _use_fused_knn(n_points: int) -> bool:
+    """Use the fused Pallas kNN+gather kernel on TPU for lane-aligned point
+    counts (2.5× over the XLA distance+top_k+gather chain at APF shapes; the
+    (B, S, N) distance tensor never leaves VMEM). Near-equal distances may
+    resolve to a different (equivalent) neighbour than XLA top_k."""
+    if n_points % 128 != 0:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _grouped_neighbourhood(xyz, centers, feats, k):
+    """kNN-gather ``feats`` around ``centers``: fused Pallas kernel on TPU,
+    XLA fallback elsewhere. Returns (B, S, k, C); row 0 of each group is the
+    centre itself (distance 0, lowest index — FPS centres are support
+    points; any exact-duplicate tie shares identical features)."""
+    if _use_fused_knn(xyz.shape[1]):
+        from pointvit_tpu.ops.pallas_knn import knn_group_pallas
+
+        _, grouped = knn_group_pallas(xyz, centers, feats, k)
+        return grouped
+    idx = knn_indices(centers, xyz, k)
+    return knn_gather(feats, idx)
+
+
 @functools.partial(jax.jit, static_argnames=("num_group", "group_size"))
 def apf_group(
     x: jax.Array,
@@ -57,10 +84,11 @@ def apf_group(
     """
     fps_idx = farthest_point_sample(xyz, num_group, key=key)  # (B, G)
     center = fps_gather(xyz, fps_idx)  # (B, G, 3)
-    center_feat = fps_gather(x, fps_idx)  # (B, G, C)
 
-    idx = knn_indices(center, xyz, group_size)  # (B, G, K)
-    neighborhood = knn_gather(x, idx)  # (B, G, K, C)
+    neighborhood = _grouped_neighbourhood(xyz, center, x, group_size)  # (B,G,K,C)
+    # The centre is its own nearest neighbour (see _grouped_neighbourhood),
+    # so its feature row doubles as the reference's ``index_points(x, fps_idx)``.
+    center_feat = neighborhood[:, :, 0, :]  # (B, G, C)
 
     # Centre-relative normalization over the full feature channels, then
     # concat the centre feature (apf.py:83-95).
@@ -115,7 +143,14 @@ def p3_group(
     """
     fps_idx = farthest_point_sample(points, num_samples, key=key)
     centers = fps_gather(points, fps_idx)  # (B, S, 3)
-    grouped_points, grouped_features = knn_group(points, centers, features, k)
+    if _use_fused_knn(points.shape[1]):
+        # One fused gather over [coords ‖ features]; split after.
+        combined = jnp.concatenate([points, features], axis=-1)
+        grouped = _grouped_neighbourhood(points, centers, combined, k)
+        grouped_points = grouped[..., :3]
+        grouped_features = grouped[..., 3:]
+    else:
+        grouped_points, grouped_features = knn_group(points, centers, features, k)
     if relative_pos:
         grouped_points = grouped_points - centers[:, :, None, :]
     return centers, grouped_points, grouped_features
