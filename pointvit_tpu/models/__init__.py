@@ -13,6 +13,7 @@ from pointvit_tpu.models.renderer import (
     ViewTransformationNetwork,
     renderer_trainable_mask,
 )
+from pointvit_tpu.models.registry import get_timm_vit, get_vit
 
 __all__ = [
     "AdaptPointFormer",
@@ -25,4 +26,6 @@ __all__ = [
     "ViewTransformationNetwork",
     "renderer_trainable_mask",
     "TORCHVISION_VIT_PRESETS",
+    "get_vit",
+    "get_timm_vit",
 ]

@@ -14,7 +14,12 @@ from pointvit_tpu.ops.morton import (
     part1by2,
 )
 from pointvit_tpu.ops.group import apf_group, p3_group
+from pointvit_tpu.ops.sampler_bench import (
+    benchmark_fps_implementations,
+    fps_sampling_with_knn,
+)
 from pointvit_tpu.ops.render import (
+    rasterize_amax_fast,
     depth_intensity,
     fixed_view_angles,
     project_orthographic,
@@ -39,6 +44,8 @@ __all__ = [
     "part1by2",
     "apf_group",
     "p3_group",
+    "fps_sampling_with_knn",
+    "benchmark_fps_implementations",
     "depth_intensity",
     "fixed_view_angles",
     "project_orthographic",

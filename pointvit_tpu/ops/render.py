@@ -39,6 +39,7 @@ __all__ = [
     "depth_intensity",
     "splat_bilinear",
     "rasterize_amax",
+    "rasterize_amax_fast",
     "project_points_spherical",
     "render_diff_views",
     "render_fixed_views",
@@ -193,6 +194,48 @@ def rasterize_amax(
 
 
 @functools.partial(jax.jit, static_argnames=("img_size",))
+def rasterize_amax_fast(
+    points_2d: jax.Array, features: jax.Array, img_size: int
+) -> jax.Array:
+    """Fast near-exact equivalent of :func:`rasterize_amax`.
+
+    The reference's 5×5 dilation offsets span ±(S−1)/S pixels in half-pixel
+    steps, so after truncating quantization the painted footprint is the
+    pixel box [⌊px−δ⌋, ⌊px+δ⌋] × [⌊py−δ⌋, ⌊py+δ⌋] with δ = (S−1)/S — the
+    3×3 box around the centre pixel except when the fractional position sits
+    within 1/S of a pixel edge (≈0.9 % of points per axis at S=224), where
+    one edge row/column of the box is absent. This path scatter-maxes one
+    pixel per point (25× fewer serialized scatter updates) and dilates with
+    a 3×3 max-pool — i.e. it always paints the full 3×3 box, over-dilating
+    those edge cases by one pixel. Visually and for training this is
+    indistinguishable (the dilation only thickens points); the exact kernel
+    stays available via ``render_fixed_views(..., exact_raster=True)``.
+    """
+    B, N, _ = points_2d.shape
+    H = W = img_size
+    px = jnp.trunc((points_2d[..., 0] + 1.0) * 0.5 * (img_size - 1)).astype(jnp.int32)
+    py = jnp.trunc((points_2d[..., 1] + 1.0) * 0.5 * (img_size - 1)).astype(jnp.int32)
+    valid = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+    flat = jnp.where(valid, py * W + px, H * W)
+    batch_base = (jnp.arange(B, dtype=jnp.int32) * (H * W + 1))[:, None]
+    flat = (flat + batch_base).reshape(-1)
+
+    image = jnp.zeros((B * (H * W + 1),), dtype=features.dtype)
+    image = image.at[flat].max(features.reshape(-1), mode="drop")
+    image = image.reshape(B, H * W + 1)[:, : H * W].reshape(B, H, W)
+    # 3×3 max-pool dilation; SAME padding clips at borders exactly like the
+    # reference's per-offset bounds check.
+    return jax.lax.reduce_window(
+        image,
+        jnp.asarray(0.0, image.dtype),
+        jax.lax.max,
+        (1, 3, 3),
+        (1, 1, 1),
+        "SAME",
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("img_size",))
 def render_diff_views(
     points: jax.Array, azimuth: jax.Array, elevation: jax.Array, img_size: int
 ) -> jax.Array:
@@ -230,9 +273,9 @@ def project_points_spherical(
     return jnp.stack([x_rot, y_rot], axis=-1), z_final
 
 
-@functools.partial(jax.jit, static_argnames=("img_size", "num_views"))
+@functools.partial(jax.jit, static_argnames=("img_size", "num_views", "exact_raster"))
 def render_fixed_views(
-    points: jax.Array, img_size: int, num_views: int
+    points: jax.Array, img_size: int, num_views: int, *, exact_raster: bool = False
 ) -> jax.Array:
     """Render from the fixed camera ring; fully batched over views.
 
@@ -253,5 +296,6 @@ def render_fixed_views(
     el_flat = jnp.tile(el_deg, B)
     points_2d, z = project_points_spherical(pts, az_flat, el_flat)
     # Fixed renderer also uses 0.3 + 0.7·ẑ shading with 1e-6 eps (renderer.py:90-94).
-    image = rasterize_amax(points_2d, depth_intensity(z), img_size)
+    raster = rasterize_amax if exact_raster else rasterize_amax_fast
+    image = raster(points_2d, depth_intensity(z), img_size)
     return image.reshape(B, num_views, img_size, img_size)

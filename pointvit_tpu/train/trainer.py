@@ -137,6 +137,7 @@ class Trainer:
         loader_cls=None,
         epoch_hooks: tuple = (),
         save_config_snapshot: bool = True,
+        profile_dir: str | None = None,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -189,6 +190,11 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl)
         self._init_metrics_csv()
+
+        from pointvit_tpu.utils.profiling import StepTimer
+
+        self.profile_dir = profile_dir
+        self.step_timer = StepTimer()
 
     # -- initialization ---------------------------------------------------
 
@@ -286,9 +292,11 @@ class Trainer:
                 jax.random.fold_in(self._base_key, 1 + epoch), i
             )
             pts, lbl = self._shard(points, labels)
+            self.step_timer.start()
             self.state, loss, correct = self._train_step(
                 self.state, pts, lbl, step_key
             )
+            self.step_timer.stop(loss)
             loss_sum = loss_sum + loss
             correct_sum = correct_sum + correct
             count += len(labels)
@@ -383,7 +391,13 @@ class Trainer:
         best_acc = 0.0
         for epoch in range(self.epochs):
             t0 = time.time()
-            train_loss, train_acc = self._train_epoch(epoch)
+            if self.profile_dir and epoch == 0:
+                from pointvit_tpu.utils.profiling import profile_trace
+
+                with profile_trace(self.profile_dir):
+                    train_loss, train_acc = self._train_epoch(epoch)
+            else:
+                train_loss, train_acc = self._train_epoch(epoch)
             test_loss, test_acc = self._test_epoch()
             self._update_metrics_csv(epoch, train_loss, train_acc, test_loss, test_acc)
 
@@ -404,6 +418,10 @@ class Trainer:
             )
             if self.log_lr:
                 msg += f"  lr {self._current_lr():.6f}"
+            stats = self.step_timer.summary()
+            if stats.get("steps"):
+                msg += f"  step p50 {stats['p50_ms']:.1f}ms"
+            self.step_timer.reset()
             print(msg)
         print(f"\nTraining completed. Best test accuracy: {best_acc:.4f}")
         print(f"Training metrics saved to {self.metrics_csv_path}")

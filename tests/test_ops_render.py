@@ -132,3 +132,37 @@ def test_render_views_shapes(rng):
     diff = render_diff_views(pts, az, el, 32)
     assert diff.shape == (2, 32, 32)
     assert np.isfinite(np.asarray(diff)).all()
+
+
+def test_rasterize_fast_covers_exact(rng):
+    # The fast rasterizer paints the full 3x3 box; the exact kernel's
+    # footprint is a subset (edge rows/cols conditionally absent). So
+    # fast >= exact everywhere, differences confined to box edges, and the
+    # two agree on the vast majority of painted pixels.
+    from pointvit_tpu.ops import rasterize_amax_fast
+
+    B, N, S = 2, 128, 64
+    pts = (rng.random((B, N, 2)) * 1.6 - 0.8).astype(np.float32)
+    feats = (0.3 + 0.7 * rng.random((B, N))).astype(np.float32)
+    exact = np.asarray(rasterize_amax(jnp.asarray(pts), jnp.asarray(feats), S))
+    fast = np.asarray(rasterize_amax_fast(jnp.asarray(pts), jnp.asarray(feats), S))
+    assert np.all(fast >= exact - 1e-6)
+    painted = exact > 0
+    agree = np.isclose(fast[painted], exact[painted], atol=1e-6).mean()
+    assert agree > 0.95
+
+
+def test_rasterize_fast_exact_interior_fractions():
+    # Points whose fractional pixel positions are well inside (0.25..0.75):
+    # fast and exact are bit-identical.
+    from pointvit_tpu.ops import rasterize_amax_fast
+
+    S = 32
+    scale = 0.5 * (S - 1)
+    px = np.array([5.5, 10.25, 20.75, 16.4]) / scale - 1.0
+    py = np.array([7.5, 12.6, 25.3, 3.5]) / scale - 1.0
+    pts = np.stack([px, py], -1)[None].astype(np.float32)
+    feats = np.asarray([[0.5, 0.7, 0.9, 1.0]], np.float32)
+    exact = np.asarray(rasterize_amax(jnp.asarray(pts), jnp.asarray(feats), S))
+    fast = np.asarray(rasterize_amax_fast(jnp.asarray(pts), jnp.asarray(feats), S))
+    np.testing.assert_allclose(fast, exact, atol=1e-6)
