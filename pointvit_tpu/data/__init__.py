@@ -14,7 +14,8 @@ from pointvit_tpu.data.augment import (
     rotate_point_cloud_z,
     scale_point_cloud,
 )
-from pointvit_tpu.data.loader import DeviceDataset, Loader
+from pointvit_tpu.data.loader import DeviceDataset, FastLoader, Loader
+from pointvit_tpu.data.native import BatchAugmenter, native_available
 from pointvit_tpu.data.modelnet40 import ModelNet40
 from pointvit_tpu.data.scanobjectnn import ScanObjectNN
 
@@ -22,7 +23,10 @@ __all__ = [
     "ScanObjectNN",
     "ModelNet40",
     "Loader",
+    "FastLoader",
     "DeviceDataset",
+    "BatchAugmenter",
+    "native_available",
     "normalize_point_cloud",
     "random_point_dropout",
     "random_scale_point_cloud",

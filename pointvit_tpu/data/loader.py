@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["Loader", "DeviceDataset"]
+__all__ = ["Loader", "FastLoader", "DeviceDataset"]
 
 
 class Loader:
@@ -53,6 +53,73 @@ class Loader:
             idx = order[start : start + self.batch_size]
             points, labels = zip(*(self.dataset[int(i)] for i in idx))
             yield np.stack(points), np.asarray(labels)
+
+
+class FastLoader:
+    """Batch-level pipeline: vectorized slicing + native C++ augmentation.
+
+    Drop-in replacement for :class:`Loader` when the per-item work is the
+    standard augmentation pipeline (i.e. ``sampling_method`` is ``'all'`` or
+    offline ``'fps'``): clouds are sliced from the dataset's backing array in
+    one numpy gather and the whole batch runs through
+    :class:`~pointvit_tpu.data.native.BatchAugmenter` (~10-20× faster than
+    the per-sample Python path; distributions identical, RNG streams differ).
+    """
+
+    def __init__(
+        self,
+        data,
+        labels,
+        batch_size: int,
+        augmenter=None,
+        use_height: bool = False,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ) -> None:
+        self.data = np.ascontiguousarray(data, dtype=np.float32)
+        self.labels = np.asarray(labels)
+        self.batch_size = batch_size
+        self.augmenter = augmenter
+        self.use_height = use_height
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    @classmethod
+    def for_dataset(cls, dataset, batch_size, augmenter, *, use_height=False,
+                    shuffle=False, drop_last=False, seed=0):
+        """Build from a ScanObjectNN/ModelNet40-style dataset instance."""
+        return cls(
+            dataset.data,
+            dataset.labels,
+            batch_size,
+            augmenter,
+            use_height=use_height,
+            shuffle=shuffle,
+            drop_last=drop_last,
+            seed=seed,
+        )
+
+    def __len__(self) -> int:
+        n = len(self.labels)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        n = len(self.labels)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            points = self.data[idx]
+            labels = self.labels[idx]
+            if self.augmenter is not None:
+                points, heights = self.augmenter(points)
+                if self.use_height and heights is not None:
+                    points = np.concatenate([points, heights[..., None]], axis=-1)
+            yield points, labels
 
 
 class DeviceDataset:

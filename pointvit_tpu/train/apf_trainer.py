@@ -125,6 +125,44 @@ class APFTrainer(Trainer):
             eps=1e-8,
         )
 
+        # Batch-level native augmentation pipeline (C++/OpenMP) when the
+        # sampling mode permits vectorized slicing; disable with
+        # train_config['native_pipeline'] = False for the per-item path.
+        train_loader = test_loader = None
+        if train_config.get("native_pipeline", True) and dataset_config.get(
+            "sampling_method", "fps"
+        ) in ("all", "fps"):
+            from pointvit_tpu.data import BatchAugmenter, FastLoader, native_available
+
+            if native_available():
+                use_height = dataset_config.get("use_height", False)
+                train_loader = FastLoader.for_dataset(
+                    train_dataset,
+                    batch_size,
+                    BatchAugmenter(
+                        normalize=dataset_config.get("normalize", False),
+                        custom=dataset_config.get("use_custom_augmentation", False),
+                        custom_prob=dataset_config.get("augmentation_probability", 0.0),
+                        apf_transforms=True,
+                        seed=seed,
+                    ),
+                    use_height=use_height,
+                    shuffle=True,
+                    drop_last=True,
+                    seed=seed,
+                )
+                test_loader = FastLoader.for_dataset(
+                    test_dataset,
+                    batch_size,
+                    BatchAugmenter(
+                        normalize=dataset_config.get("normalize", False),
+                        apf_test_transforms=True,
+                        seed=seed + 1,
+                    ),
+                    use_height=use_height,
+                    seed=seed + 1,
+                )
+
         super().__init__(
             model,
             train_dataset=train_dataset,
@@ -142,6 +180,8 @@ class APFTrainer(Trainer):
             best_filename="model_best",
             save_interval=train_config.get("save_interval", 0),
             seed=seed,
+            train_loader=train_loader,
+            test_loader=test_loader,
         )
 
         pretrained = model_config.get("pretrained", True)

@@ -116,6 +116,12 @@ class Pix4PointTrainer(Trainer):
             weight_decay_mask=weight_decay_mask,
         )
 
+        from pointvit_tpu.train.train_utils import native_loaders
+
+        train_loader, test_loader = native_loaders(
+            train_dataset, test_dataset, batch_size, dataset_config, train_config, seed
+        )
+
         super().__init__(
             model,
             train_dataset=train_dataset,
@@ -133,6 +139,8 @@ class Pix4PointTrainer(Trainer):
             best_filename="best_model",
             save_interval=train_config.get("save_interval", 0),
             seed=seed,
+            train_loader=train_loader,
+            test_loader=test_loader,
         )
 
         if model_config.get("pretrained", True):

@@ -102,6 +102,12 @@ class RendererTrainer(Trainer):
         self.views_dir = os.path.join(output_dir, "rendered_views")
         os.makedirs(self.views_dir, exist_ok=True)
 
+        from pointvit_tpu.train.train_utils import native_loaders
+
+        train_loader, test_loader = native_loaders(
+            train_dataset, test_dataset, batch_size, dataset_config, train_config, seed
+        )
+
         super().__init__(
             model,
             train_dataset=train_dataset,
@@ -119,6 +125,8 @@ class RendererTrainer(Trainer):
             best_filename="best_model",
             save_interval=train_config.get("save_interval", 0),
             seed=seed,
+            train_loader=train_loader,
+            test_loader=test_loader,
             epoch_hooks=(_save_views_hook,),
         )
 

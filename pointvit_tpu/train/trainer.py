@@ -135,6 +135,8 @@ class Trainer:
         seed: int = 0,
         mesh=None,
         loader_cls=None,
+        train_loader=None,
+        test_loader=None,
         epoch_hooks: tuple = (),
         save_config_snapshot: bool = True,
         profile_dir: str | None = None,
@@ -168,10 +170,10 @@ class Trainer:
         self._batch_shard = batch_sharding(self.mesh)
 
         loader_cls = loader_cls or Loader
-        self.train_loader = loader_cls(
+        self.train_loader = train_loader if train_loader is not None else loader_cls(
             train_dataset, batch_size, shuffle=True, drop_last=True, seed=seed
         )
-        self.test_loader = loader_cls(
+        self.test_loader = test_loader if test_loader is not None else loader_cls(
             test_dataset, batch_size, shuffle=False, drop_last=False, seed=seed
         )
 

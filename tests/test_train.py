@@ -221,3 +221,42 @@ class TestSharding:
         tc = {**tc, "batch_size": 9}
         with pytest.raises(ValueError):
             APFTrainer(mc, dc, tc, output_dir=str(tmp_path / "bad"))
+
+
+class TestNativePipeline:
+    def test_fastloader_shapes_and_heights(self, sonn_root):
+        from pointvit_tpu.data import BatchAugmenter, FastLoader, ScanObjectNN
+
+        ds = ScanObjectNN(sonn_root, num_points=64, sampling_method="fps")
+        loader = FastLoader.for_dataset(
+            ds, 8, BatchAugmenter(apf_transforms=True), use_height=True,
+            shuffle=True, drop_last=True,
+        )
+        points, labels = next(iter(loader))
+        assert points.shape == (8, 64, 4)  # xyz + heights channel
+        assert points[..., 3].min() >= 0
+        assert labels.shape == (8,)
+
+    def test_apf_trainer_uses_native_loader(self, sonn_root, tmp_path):
+        from pointvit_tpu.data import native_available
+        from pointvit_tpu.data.loader import FastLoader
+        from pointvit_tpu.train import APFTrainer
+
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        trainer = APFTrainer(*_tiny_apf_configs(sonn_root), output_dir=str(tmp_path / "n"))
+        assert isinstance(trainer.train_loader, FastLoader)
+        # and training still runs
+        tc = trainer.train_config
+        trainer.epochs = 1
+        best = trainer.train()
+        assert 0.0 <= best <= 1.0
+
+    def test_native_pipeline_disable_flag(self, sonn_root, tmp_path):
+        from pointvit_tpu.data.loader import Loader
+        from pointvit_tpu.train import APFTrainer
+
+        mc, dc, tc = _tiny_apf_configs(sonn_root)
+        tc = {**tc, "native_pipeline": False}
+        trainer = APFTrainer(mc, dc, tc, output_dir=str(tmp_path / "p"))
+        assert isinstance(trainer.train_loader, Loader)
