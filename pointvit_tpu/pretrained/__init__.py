@@ -20,6 +20,12 @@ Name-mapping fidelity notes (SURVEY.md §7):
   ``reference_quirks=True`` reproduces the reference's partial load exactly.
 """
 
+from pointvit_tpu.pretrained.reference_ckpt import (
+    load_reference_apf_checkpoint,
+    load_reference_pix4point_checkpoint,
+    load_reference_renderer_checkpoint,
+    load_reference_state_dict,
+)
 from pointvit_tpu.pretrained.convert import (
     cache_dir,
     load_apf_vit_weights,
@@ -31,6 +37,10 @@ from pointvit_tpu.pretrained.convert import (
 
 __all__ = [
     "cache_dir",
+    "load_reference_apf_checkpoint",
+    "load_reference_pix4point_checkpoint",
+    "load_reference_renderer_checkpoint",
+    "load_reference_state_dict",
     "load_state_dict",
     "load_apf_vit_weights",
     "load_pix4point_vit_weights",

@@ -31,6 +31,44 @@ from pointvit_tpu.train.trainer import Trainer, build_optimizer
 __all__ = ["APFTrainer"]
 
 
+class _TransformedDataset:
+    """Apply the APF dict-transform pipeline (+ optional heights channel) on
+    top of a raw (points, label) dataset — the ModelNet40 adapter for the
+    APF data path (ScanObjectNN applies transforms internally)."""
+
+    def __init__(self, base, transforms, use_height: bool = False):
+        self.base = base
+        self.transforms = transforms
+        self.use_height = use_height
+        # surface the attrs FastLoader/Trainer rely on; pre-apply the
+        # first-num_points protocol so vectorized slicing matches __getitem__
+        self.data = base.data[:, : base.num_points]
+        self.labels = base.labels
+        self.num_classes = base.num_classes
+        self.sampling_method = "all"
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx):
+        import numpy as np
+
+        points, label = self.base[idx]
+        heights = None
+        if self.transforms:
+            data = {"xyz": points, "label": label}
+            for fn in self.transforms:
+                data = fn(data)
+            points = data["xyz"]
+            label = data["label"]
+            heights = data.get("heights")
+        if self.use_height and heights is not None:
+            points = np.concatenate(
+                [points.astype(np.float32), heights.astype(np.float32)], axis=1
+            )
+        return points.astype(np.float32), label
+
+
 class APFTrainer(Trainer):
     """Trainer for AdaptPointFormer on ScanObjectNN."""
 
@@ -68,32 +106,66 @@ class APFTrainer(Trainer):
         ]
         test_transforms = [center_and_normalize_point_cloud]
 
-        common = dict(
-            root_dir=dataset_config["root_dir"],
-            variant=dataset_config["variant"],
-            augmentation=dataset_config["augmentation"],
-            background=dataset_config.get("background", False),
-            use_newsplit=dataset_config.get("use_newsplit", False),
-            normalize=dataset_config.get("normalize", False),
-            sampling_method=dataset_config.get("sampling_method", "fps"),
-            use_height=dataset_config.get("use_height", False),
-            use_custom_augmentation=dataset_config.get("use_custom_augmentation", False),
-            augmentation_probability=dataset_config.get("augmentation_probability", 0.0),
-        )
-        train_dataset = ScanObjectNN(
-            split="training",
-            num_points=dataset_config["train_num_points"],
-            transform=train_transforms,
-            seed=seed,
-            **common,
-        )
-        test_dataset = ScanObjectNN(
-            split="test",
-            num_points=dataset_config["test_num_points"],
-            transform=test_transforms,
-            seed=seed + 1,
-            **common,
-        )
+        if dataset_config.get("dataset", "scanobjectnn") == "modelnet40":
+            # North-star benchmark dataset (BASELINE.md) — the reference has
+            # no ModelNet40 loader; config keys follow the same shape.
+            from pointvit_tpu.data.modelnet40 import ModelNet40
+
+            train_dataset = _TransformedDataset(
+                ModelNet40(
+                    dataset_config["root_dir"],
+                    split="training",
+                    num_points=dataset_config["train_num_points"],
+                    normalize=dataset_config.get("normalize", False),
+                    use_custom_augmentation=dataset_config.get(
+                        "use_custom_augmentation", False
+                    ),
+                    augmentation_probability=dataset_config.get(
+                        "augmentation_probability", 0.5
+                    ),
+                    seed=seed,
+                ),
+                train_transforms,
+                use_height=dataset_config.get("use_height", False),
+            )
+            test_dataset = _TransformedDataset(
+                ModelNet40(
+                    dataset_config["root_dir"],
+                    split="test",
+                    num_points=dataset_config["test_num_points"],
+                    normalize=dataset_config.get("normalize", False),
+                    seed=seed + 1,
+                ),
+                test_transforms,
+                use_height=dataset_config.get("use_height", False),
+            )
+        else:
+            common = dict(
+                root_dir=dataset_config["root_dir"],
+                variant=dataset_config["variant"],
+                augmentation=dataset_config["augmentation"],
+                background=dataset_config.get("background", False),
+                use_newsplit=dataset_config.get("use_newsplit", False),
+                normalize=dataset_config.get("normalize", False),
+                sampling_method=dataset_config.get("sampling_method", "fps"),
+                use_height=dataset_config.get("use_height", False),
+                use_custom_augmentation=dataset_config.get("use_custom_augmentation", False),
+                augmentation_probability=dataset_config.get("augmentation_probability", 0.0),
+            )
+            train_dataset = ScanObjectNN(
+                split="training",
+                num_points=dataset_config["train_num_points"],
+                transform=train_transforms,
+                seed=seed,
+                **common,
+            )
+            test_dataset = ScanObjectNN(
+                split="test",
+                num_points=dataset_config["test_num_points"],
+                transform=test_transforms,
+                seed=seed + 1,
+                **common,
+            )
 
         epochs = train_config["epochs"]
         batch_size = train_config["batch_size"]

@@ -260,3 +260,33 @@ class TestNativePipeline:
         tc = {**tc, "native_pipeline": False}
         trainer = APFTrainer(mc, dc, tc, output_dir=str(tmp_path / "p"))
         assert isinstance(trainer.train_loader, Loader)
+
+
+class TestModelNet40Trainer:
+    def test_apf_on_modelnet40(self, tmp_path):
+        from pointvit_tpu.data.synthetic import write_modelnet40_h5
+        from pointvit_tpu.train import APFTrainer
+
+        root = str(tmp_path / "mn40")
+        write_modelnet40_h5(root, num_train=32, num_test=16, num_points=128)
+        model_config = {
+            "num_classes": 40, "in_channels": 4, "vit_name": "vit_base_patch16_224",
+            "pretrained": False, "embedding_dim": 32, "npoint": 16, "nsample": 8,
+            "depth": 1, "num_heads": 4, "bf16": False,
+        }
+        dataset_config = {
+            "dataset": "modelnet40", "root_dir": root,
+            "train_num_points": 64, "test_num_points": 64,
+            "normalize": True, "use_height": True,
+        }
+        train_config = {
+            "batch_size": 8, "epochs": 1, "learning_rate": 5e-4,
+            "weight_decay": 5e-2, "warmup_epochs": 1, "warmup_lr_init": 1e-3,
+        }
+        trainer = APFTrainer(model_config, dataset_config, train_config,
+                             output_dir=str(tmp_path / "out"))
+        best = trainer.train()
+        assert 0.0 <= best <= 1.0
+        # item path consistency: heights channel appended
+        pts, _ = trainer.train_dataset[0]
+        assert pts.shape == (64, 4)
