@@ -24,6 +24,9 @@ import jax.numpy as jnp
 def main() -> None:
     from pointvit_tpu.models import AdaptPointFormer
     from pointvit_tpu.ops import apf_group
+    from pointvit_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     batch = 256
     num_points = 1024

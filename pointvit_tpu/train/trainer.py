@@ -193,8 +193,9 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._init_metrics_csv()
 
-        from pointvit_tpu.utils.profiling import StepTimer
+        from pointvit_tpu.utils.profiling import StepTimer, enable_compilation_cache
 
+        enable_compilation_cache()
         self.profile_dir = profile_dir
         self.step_timer = StepTimer()
 

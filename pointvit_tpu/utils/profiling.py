@@ -20,7 +20,28 @@ import time
 
 import numpy as np
 
-__all__ = ["profile_trace", "StepTimer"]
+__all__ = ["profile_trace", "StepTimer", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> bool:
+    """Enable JAX's persistent compilation cache (cold-start compiles of the
+    full models take minutes; warm starts become seconds). Safe to call
+    multiple times; returns False if the backend/config rejects it."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "POINTVIT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pointvit_tpu", "xla_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
 
 
 @contextlib.contextmanager
