@@ -9,8 +9,6 @@ model level) with f32 parameters.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
