@@ -198,3 +198,28 @@ class TestLoader:
         e1 = np.concatenate([b[1] for b in loader])
         e2 = np.concatenate([b[1] for b in loader])
         assert not np.array_equal(e1, e2)
+
+
+class TestDeviceDataset:
+    def test_hbm_resident_batches(self):
+        from pointvit_tpu.data import DeviceDataset
+
+        clouds, labels = make_clouds(20, 16, 5, seed=0)
+        ds = DeviceDataset(clouds, labels)
+        batches = list(ds.batches(8, drop_last=True))
+        assert len(batches) == 2
+        pts, lbl = batches[0]
+        assert pts.shape == (8, 16, 3)
+        assert lbl.shape == (8,)
+        np.testing.assert_allclose(np.asarray(pts), clouds[:8])
+
+    def test_sharded_placement(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from pointvit_tpu.data import DeviceDataset
+
+        clouds, labels = make_clouds(16, 8, 4, seed=1)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        ds = DeviceDataset(clouds, labels, sharding=NamedSharding(mesh, P("data")))
+        assert len(ds.points.addressable_shards) == 8
