@@ -1,5 +1,7 @@
 """Data-layer tests: augment semantics, dataset loading matrix, loaders."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,30 @@ class TestDeviceDataset:
         mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
         ds = DeviceDataset(clouds, labels, sharding=NamedSharding(mesh, P("data")))
         assert len(ds.points.addressable_shards) == 8
+
+
+def test_newsplit_filename_path(tmp_path):
+    # use_newsplit only alters the TEST split of augmentedrot_scale75
+    # (scanobjectnn.py:124-127).
+    import h5py
+
+    root = str(tmp_path)
+    d = os.path.join(root, "main_split")
+    os.makedirs(d)
+    data, labels = make_clouds(4, 32, 3, seed=0)
+    for name in (
+        "training_objectdataset_augmentedrot_scale75.h5",
+        "test_objectdataset_augmentedrot_scale75_newsplit.h5",
+    ):
+        with h5py.File(os.path.join(d, name), "w") as f:
+            f.create_dataset("data", data=data)
+            f.create_dataset("label", data=labels)
+
+    train = ScanObjectNN(root, split="training",
+                         augmentation="augmentedrot_scale75", use_newsplit=True)
+    test = ScanObjectNN(root, split="test",
+                        augmentation="augmentedrot_scale75", use_newsplit=True)
+    assert len(train) == 4 and len(test) == 4
+    with pytest.raises(FileNotFoundError):
+        ScanObjectNN(root, split="test",
+                     augmentation="augmentedrot_scale75", use_newsplit=False)
