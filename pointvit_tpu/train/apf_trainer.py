@@ -254,6 +254,7 @@ class APFTrainer(Trainer):
             seed=seed,
             train_loader=train_loader,
             test_loader=test_loader,
+            trainable_mask=mask,
         )
 
         pretrained = model_config.get("pretrained", True)
@@ -271,4 +272,4 @@ class APFTrainer(Trainer):
             reference_quirks=model_config.get("reference_quirks", False),
         )
         if params is not None:
-            self.state = self.state.replace(params=params)
+            self.replace_params(params)

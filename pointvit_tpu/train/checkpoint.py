@@ -34,12 +34,17 @@ def save_checkpoint(
     accuracy: float,
     model_config: dict,
     dataset_config: dict,
+    params_host=None,
 ) -> str:
-    """Serialize a train-state checkpoint. Returns the written path."""
+    """Serialize a train-state checkpoint. Returns the written path.
+
+    ``params_host`` optionally supplies an already-fetched host copy of the
+    params (trainers use it to avoid re-fetching frozen weights from device).
+    """
     os.makedirs(output_dir, exist_ok=True)
     payload = {
         "epoch": epoch,
-        "params": jax.device_get(state.params),
+        "params": params_host if params_host is not None else jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
         "step": int(state.step),

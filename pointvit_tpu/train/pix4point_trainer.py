@@ -141,6 +141,7 @@ class Pix4PointTrainer(Trainer):
             seed=seed,
             train_loader=train_loader,
             test_loader=test_loader,
+            trainable_mask=trainable,
         )
 
         if model_config.get("pretrained", True):
@@ -153,4 +154,4 @@ class Pix4PointTrainer(Trainer):
             self.state.params, model_config["pretrained_model"]
         )
         if params is not None:
-            self.state = self.state.replace(params=params)
+            self.replace_params(params)

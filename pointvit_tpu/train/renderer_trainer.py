@@ -127,6 +127,7 @@ class RendererTrainer(Trainer):
             seed=seed,
             train_loader=train_loader,
             test_loader=test_loader,
+            trainable_mask=mask,
             epoch_hooks=(_save_views_hook,),
         )
 
@@ -140,7 +141,7 @@ class RendererTrainer(Trainer):
             self.state.params, model_config["vit_name"]
         )
         if params is not None:
-            self.state = self.state.replace(params=params)
+            self.replace_params(params)
 
     # -- rendered-view observability --------------------------------------
 

@@ -139,6 +139,7 @@ class Trainer:
         epoch_hooks: tuple = (),
         save_config_snapshot: bool = True,
         profile_dir: str | None = None,
+        trainable_mask=None,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -197,6 +198,51 @@ class Trainer:
         enable_compilation_cache()
         self.profile_dir = profile_dir
         self.step_timer = StepTimer()
+
+        # Frozen params never change (optax.set_to_zero branch), so
+        # checkpoints only need to fetch the trainable subset from device —
+        # for adapter-style models that's ~10% of the bytes. Cache the
+        # frozen leaves host-side once.
+        self._trainable_mask = trainable_mask
+        self._frozen_host = None
+        self._refresh_frozen_cache()
+
+    def _refresh_frozen_cache(self) -> None:
+        """(Re)snapshot the frozen param leaves host-side. Must be called
+        whenever ``state.params`` is replaced wholesale (pretrained load,
+        checkpoint restore) — the cache feeds checkpoint writes."""
+        if self._trainable_mask is None:
+            return
+        flat_params = jax.tree.leaves(self.state.params)
+        flat_mask = jax.tree.leaves(self._trainable_mask)
+        self._frozen_host = [
+            None if m else np.asarray(jax.device_get(p))
+            for p, m in zip(flat_params, flat_mask)
+        ]
+
+    def replace_params(self, params) -> None:
+        """Swap in a new param tree (e.g. pretrained/imported weights),
+        keeping the checkpoint frozen-leaf cache consistent."""
+        self.state = self.state.replace(params=params)
+        self._refresh_frozen_cache()
+
+    def _host_params(self):
+        """Host copy of params; fetches only the trainable subset when a
+        trainable mask is known (frozen leaves come from the init-time
+        cache — they cannot change, their optimizer branch is set_to_zero)."""
+        if self._frozen_host is None:
+            return jax.device_get(self.state.params)
+        flat_params, treedef = jax.tree.flatten(self.state.params)
+        flat_mask = jax.tree.leaves(self._trainable_mask)
+        fetched = jax.device_get(
+            [p for p, m in zip(flat_params, flat_mask) if m]
+        )
+        it = iter(fetched)
+        merged = [
+            next(it) if m else cached
+            for m, cached in zip(flat_mask, self._frozen_host)
+        ]
+        return jax.tree.unflatten(treedef, merged)
 
     # -- initialization ---------------------------------------------------
 
@@ -375,6 +421,7 @@ class Trainer:
             accuracy=accuracy,
             model_config=self.model_config,
             dataset_config=self.dataset_config,
+            params_host=self._host_params(),
         )
 
     def load_checkpoint(self, path: str) -> None:
@@ -389,6 +436,7 @@ class Trainer:
             step=restored["step"],
         )
         self.state = replicate(self.state, self.mesh)
+        self._refresh_frozen_cache()
         print(
             f"Loaded checkpoint from epoch {restored['epoch']} "
             f"with accuracy {restored['accuracy']:.4f}"

@@ -290,3 +290,30 @@ class TestModelNet40Trainer:
         # item path consistency: heights channel appended
         pts, _ = trainer.train_dataset[0]
         assert pts.shape == (64, 4)
+
+
+class TestFastCheckpoint:
+    def test_frozen_cache_checkpoint_equals_full_fetch(self, sonn_root, tmp_path):
+        """Checkpoints written via the trainable-only fetch must contain the
+        exact same params a full device_get would produce — including after
+        a params replacement (stale-cache regression test)."""
+        from pointvit_tpu.train import APFTrainer
+        from pointvit_tpu.train.checkpoint import load_checkpoint
+
+        out = str(tmp_path / "fc")
+        mc, dc, tc = _tiny_apf_configs(sonn_root)
+        tc = {**tc, "epochs": 1}
+        trainer = APFTrainer(mc, dc, tc, output_dir=out)
+        assert trainer._frozen_host is not None  # mask wired through
+
+        # replace params wholesale (simulating a pretrained load)
+        new_params = jax.tree.map(lambda x: x + 0.5, trainer.state.params)
+        trainer.replace_params(new_params)
+        trainer.train()
+
+        restored = load_checkpoint(
+            os.path.join(out, "model_best.msgpack"), trainer.state
+        )
+        full = jax.device_get(trainer.state.params)
+        for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(full)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
