@@ -12,7 +12,11 @@ from pointvit_tpu.train.schedules import (
     timm_cosine_schedule,
     warmup_then_cosine_schedule,
 )
-from pointvit_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from pointvit_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    wait_for_pending_writes,
+)
 from pointvit_tpu.train.train_utils import save_configs
 from pointvit_tpu.train.apf_trainer import APFTrainer
 from pointvit_tpu.train.pix4point_trainer import Pix4PointTrainer
@@ -28,6 +32,7 @@ __all__ = [
     "cosine_annealing_schedule",
     "constant_schedule",
     "save_checkpoint",
+    "wait_for_pending_writes",
     "load_checkpoint",
     "save_configs",
     "APFTrainer",

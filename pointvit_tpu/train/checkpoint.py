@@ -16,13 +16,36 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any
 
 import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "wait_for_pending_writes"]
+
+# Single background writer: checkpoint bytes are fully materialized on the
+# host before handing off, so training never blocks on (slow container) disk.
+_write_lock = threading.Lock()
+_pending: list[threading.Thread] = []
+
+
+def wait_for_pending_writes() -> None:
+    """Block until all async checkpoint writes have finished."""
+    while _pending:
+        t = _pending.pop()
+        t.join()
+
+
+def _write_file(path: str, blob: bytes, meta_path: str, meta: str) -> None:
+    tmp = path + ".tmp"
+    with _write_lock:
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic: readers never see partial files
+        with open(meta_path, "w") as f:
+            f.write(meta)
 
 
 def save_checkpoint(
@@ -35,11 +58,15 @@ def save_checkpoint(
     model_config: dict,
     dataset_config: dict,
     params_host=None,
+    async_write: bool = True,
 ) -> str:
-    """Serialize a train-state checkpoint. Returns the written path.
+    """Serialize a train-state checkpoint. Returns the (future) written path.
 
     ``params_host`` optionally supplies an already-fetched host copy of the
     params (trainers use it to avoid re-fetching frozen weights from device).
+    With ``async_write`` the device fetch + serialization happen inline
+    (consistency) but the disk write runs on a background thread — call
+    :func:`wait_for_pending_writes` before reading the file back.
     """
     os.makedirs(output_dir, exist_ok=True)
     payload = {
@@ -52,20 +79,27 @@ def save_checkpoint(
     }
     path = os.path.join(output_dir, filename)
     # to_state_dict first: optax states are NamedTuples msgpack can't pack raw.
-    with open(path, "wb") as f:
-        f.write(
-            serialization.msgpack_serialize(
-                _to_numpy(serialization.to_state_dict(payload))
-            )
+    blob = serialization.msgpack_serialize(
+        _to_numpy(serialization.to_state_dict(payload))
+    )
+    meta = json.dumps(
+        {
+            "epoch": epoch,
+            "accuracy": float(accuracy),
+            "model_config": model_config,
+            "dataset_config": dataset_config,
+        },
+        indent=2,
+        default=str,
+    )
+    if async_write:
+        t = threading.Thread(
+            target=_write_file, args=(path, blob, path + ".json", meta), daemon=True
         )
-    meta = {
-        "epoch": epoch,
-        "accuracy": float(accuracy),
-        "model_config": model_config,
-        "dataset_config": dataset_config,
-    }
-    with open(path + ".json", "w") as f:
-        json.dump(meta, f, indent=2, default=str)
+        t.start()
+        _pending.append(t)
+    else:
+        _write_file(path, blob, path + ".json", meta)
     return path
 
 

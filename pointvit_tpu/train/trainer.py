@@ -426,7 +426,12 @@ class Trainer:
 
     def load_checkpoint(self, path: str) -> None:
         """Restore params/batch_stats/opt_state/step from a checkpoint file."""
-        from pointvit_tpu.train.checkpoint import load_checkpoint
+        from pointvit_tpu.train.checkpoint import (
+            load_checkpoint,
+            wait_for_pending_writes,
+        )
+
+        wait_for_pending_writes()  # the file may still be flushing
 
         restored = load_checkpoint(path, self.state)
         self.state = self.state.replace(
@@ -481,6 +486,9 @@ class Trainer:
                 msg += f"  step p50 {stats['p50_ms']:.1f}ms"
             self.step_timer.reset()
             print(msg)
+        from pointvit_tpu.train.checkpoint import wait_for_pending_writes
+
+        wait_for_pending_writes()
         print(f"\nTraining completed. Best test accuracy: {best_acc:.4f}")
         print(f"Training metrics saved to {self.metrics_csv_path}")
         return best_acc
