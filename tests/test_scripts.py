@@ -1,0 +1,48 @@
+"""Smoke tests for the exerciser scripts (reference test/ equivalents) —
+run as real subprocesses against synthetic data on the CPU backend."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the ambient sitecustomize pre-imports jax with the TPU platform; a
+    # clean PYTHONPATH keeps the subprocess on CPU
+    env["PYTHONPATH"] = _REPO
+    return subprocess.run(
+        [sys.executable] + args, cwd=_REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_explore_dataset_script(tmp_path):
+    r = _run(["scripts/explore_dataset.py", "--synthetic"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dataset loading matrix" in r.stdout
+    assert "loader smoke test" in r.stdout
+    assert "✓" in r.stdout
+
+
+def test_render_sample_script(tmp_path):
+    out = str(tmp_path / "views.png")
+    r = _run(["scripts/render_sample.py", "--synthetic", "--views", "2",
+              "--img-size", "32", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_sampler_bench_module():
+    r = _run(["-c",
+              "import jax; jax.config.update('jax_platforms','cpu');"
+              "from pointvit_tpu.ops.sampler_bench import benchmark_fps_implementations;"
+              "benchmark_fps_implementations(batch_size=2, num_points=64,"
+              " num_samples=8, k=4, iters=2)"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fps_sampling_with_knn[xla]" in r.stdout
