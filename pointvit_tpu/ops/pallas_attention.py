@@ -164,3 +164,97 @@ def _fused_mha_qkv_bwd(num_heads, qkv, g):
 
 
 fused_mha_qkv.defvjp(_fused_mha_qkv_fwd, _fused_mha_qkv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused attention: qkv projection + MHA + output projection in-kernel.
+# The projection weights use constant-index blocks, so the Pallas pipeline
+# keeps them resident in VMEM across the whole batch grid; the (B, S, 3E)
+# qkv activation never exists in HBM at all (≈3 full activation tensors of
+# traffic saved per block at the APF shape).
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    num_heads: int, head_dim: int, x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref
+):
+    E = num_heads * head_dim
+    scale = head_dim**-0.5
+    x = x_ref[0]  # (S, E)
+    qkv = (
+        jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
+        + bqkv_ref[0]
+    ).astype(x.dtype)  # (S, 3E), VMEM-only
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim : (h + 1) * head_dim]
+        k = qkv[:, E + h * head_dim : E + (h + 1) * head_dim]
+        v = qkv[:, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
+        logits = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        heads.append(
+            jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32).astype(
+                x.dtype
+            )
+        )
+    o = jnp.concatenate(heads, axis=1)  # (S, E)
+    res = jnp.dot(o, wproj_ref[...], preferred_element_type=jnp.float32) + bproj_ref[0]
+    o_ref[0] = res.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attn_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads: int, *, interpret=False):
+    B, S, E = x.shape
+    D = E // num_heads
+    kernel = functools.partial(_attn_block_kernel, num_heads, D)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * E), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * E), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        wqkv.astype(x.dtype),
+        bqkv.astype(x.dtype).reshape(1, -1),
+        wproj.astype(x.dtype),
+        bproj.astype(x.dtype).reshape(1, -1),
+    )
+
+
+def _reference_attn_block(x, wqkv, bqkv, wproj, bproj, num_heads: int):
+    qkv = (x @ wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+    out = _reference_mha_qkv(qkv, num_heads)
+    return (out @ wproj.astype(x.dtype)) + bproj.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_block(x, wqkv, bqkv, wproj, bproj, num_heads: int):
+    """qkv-projection + MHA + output-projection, fused. x: (B, S, E)."""
+    return _attn_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads)
+
+
+def _fab_fwd(x, wqkv, bqkv, wproj, bproj, num_heads):
+    out = _attn_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads)
+    return out, (x, wqkv, bqkv, wproj, bproj)
+
+
+def _fab_bwd(num_heads, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _reference_attn_block(*a, num_heads=num_heads), *residuals
+    )
+    return vjp(g)
+
+
+fused_attention_block.defvjp(_fab_fwd, _fab_bwd)

@@ -75,3 +75,42 @@ def test_knn_group_pallas_interpret_matches_xla():
     idx_p, g_p = knn_group_pallas(pts, ctr, feats, K, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-6)
+
+
+def test_fused_attention_block_matches_reference():
+    from pointvit_tpu.ops.pallas_attention import (
+        _attn_block_pallas,
+        _reference_attn_block,
+    )
+
+    B, S, H, D = 2, 16, 2, 8
+    E = H * D
+    x = _rand((B, S, E), 7)
+    wqkv = _rand((E, 3 * E), 8) * 0.1
+    bqkv = _rand((3 * E,), 9) * 0.1
+    wproj = _rand((E, E), 10) * 0.1
+    bproj = _rand((E,), 11) * 0.1
+    ref = _reference_attn_block(x, wqkv, bqkv, wproj, bproj, H)
+    got = _attn_block_pallas(x, wqkv, bqkv, wproj, bproj, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_block_grads():
+    from pointvit_tpu.ops.pallas_attention import (
+        _reference_attn_block,
+        fused_attention_block,
+    )
+
+    B, S, H, D = 1, 8, 2, 4
+    E = H * D
+    args = (_rand((B, S, E), 12), _rand((E, 3 * E), 13) * 0.1,
+            _rand((3 * E,), 14) * 0.1, _rand((E, E), 15) * 0.1,
+            _rand((E,), 16) * 0.1)
+    # the custom-vjp backward must equal plain autodiff of the reference
+    g_ref = jax.grad(lambda *a: jnp.sum(_reference_attn_block(*a, num_heads=H) ** 2),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    _, vjp = jax.vjp(lambda *a: _reference_attn_block(*a, num_heads=H), *args)
+    cot = 2 * _reference_attn_block(*args, num_heads=H)
+    g_man = vjp(cot)
+    for a, b in zip(g_ref, g_man):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
