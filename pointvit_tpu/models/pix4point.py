@@ -61,7 +61,12 @@ class PointViT(nn.Module):
             name="patch_embed",
         )(points, features, train=train)
 
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(tokens)
+        x = nn.Dense(
+            self.embed_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="proj",
+        )(tokens)
         pos = PosEmbedMLP(self.embed_dim, dtype=self.dtype, name="pos_embed")(centers)
 
         cls_token = self.param(

@@ -31,7 +31,9 @@ class ClassificationHead(nn.Module):
 
 
 class ClsHead(nn.Module):
-    """Pix4Point head: 2E→256→256→classes, BN+ReLU+Dropout(0.5) (pix4point.py:294-325)."""
+    """Pix4Point head: 2E→256→256→classes, BN+ReLU+Dropout(0.5) (pix4point.py:294-325).
+    Linears are xavier-initialized per the reference's ``_init_weights``
+    (pix4point.py:376-383)."""
 
     num_classes: int
     mlps: Sequence[int] = (256, 256)
@@ -40,12 +42,13 @@ class ClsHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        xavier = nn.initializers.xavier_uniform()
         for i, width in enumerate(self.mlps):
-            x = nn.Dense(width, dtype=self.dtype, name=f"fc{i}")(x)
+            x = nn.Dense(width, kernel_init=xavier, dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}", **_BN)(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="out")(x)
+        return nn.Dense(self.num_classes, kernel_init=xavier, dtype=self.dtype, name="out")(x)
 
 
 class RendererHead(nn.Module):

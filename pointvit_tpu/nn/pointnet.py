@@ -21,6 +21,9 @@ from pointvit_tpu.ops.group import p3_group
 __all__ = ["GroupFeatureEncoder", "P3Embed", "PosEmbedMLP"]
 
 _BN = dict(momentum=0.9, epsilon=1e-5)
+# Pix4Point initializes its (non-ViT) Linears with xavier_uniform and zero
+# biases (pix4point.py:376-383); flax's Dense default is lecun_normal.
+_XAVIER = nn.initializers.xavier_uniform()
 
 
 class GroupFeatureEncoder(nn.Module):
@@ -122,7 +125,8 @@ class P3Embed(nn.Module):
             for i in range(half):
                 last = i == half - 1
                 x = nn.Dense(
-                    stage_dim, use_bias=last, dtype=self.dtype, name=f"s{s}_conv1_{i}"
+                    stage_dim, use_bias=last, kernel_init=_XAVIER,
+                    dtype=self.dtype, name=f"s{s}_conv1_{i}"
                 )(x)
                 if last:
                     x = nn.BatchNorm(
@@ -140,7 +144,10 @@ class P3Embed(nn.Module):
             # (pix4point.py:147-156)
             widths = [2 * stage_dim] * (half - 1) + [stage_dim]
             for i, w in enumerate(widths):
-                x = nn.Dense(w, use_bias=False, dtype=self.dtype, name=f"s{s}_conv2_{i}")(x)
+                x = nn.Dense(
+                    w, use_bias=False, kernel_init=_XAVIER, dtype=self.dtype,
+                    name=f"s{s}_conv2_{i}",
+                )(x)
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     dtype=self.dtype,
@@ -169,6 +176,6 @@ class PosEmbedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: jax.Array) -> jax.Array:
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(xyz)
+        h = nn.Dense(self.hidden, kernel_init=_XAVIER, dtype=self.dtype, name="fc1")(xyz)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(h)
+        return nn.Dense(self.embed_dim, kernel_init=_XAVIER, dtype=self.dtype, name="fc2")(h)
