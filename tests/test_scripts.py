@@ -46,3 +46,12 @@ def test_sampler_bench_module():
               " num_samples=8, k=4, iters=2)"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "fps_sampling_with_knn[xla]" in r.stdout
+
+
+def test_evaluate_script(tmp_path):
+    cfg = ('{"num_classes":15,"in_channels":3,"embedding_dim":32,'
+           '"npoint":8,"nsample":4,"depth":1,"num_heads":4}')
+    r = _run(["scripts/evaluate.py", "--family", "apf", "--synthetic",
+              "--num-points", "128", "--model-config", cfg])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "overall accuracy" in r.stdout
