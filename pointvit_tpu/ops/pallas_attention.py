@@ -71,15 +71,6 @@ def _mha_qkv_kernel(num_heads: int, head_dim: int, qkv_ref, o_ref):
         k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
         v = qkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
         _attn_head(scale, q, k, v, o_ref, sl)
-        logits = lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (S, S) f32, stays in VMEM
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jnp.dot(
-            p.astype(q.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -55,3 +55,45 @@ def test_evaluate_script(tmp_path):
               "--num-points", "128", "--model-config", cfg])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "overall accuracy" in r.stdout
+
+
+# --- driver entry points (__graft_entry__.py) -------------------------------
+# Round 1 shipped a broken dryrun because no test replicated the driver's
+# exact invocation (VERDICT.md weak #1): JAX_PLATFORMS *unset*, the axon
+# sitecustomize on PYTHONPATH supplying one real TPU. These subprocess tests
+# pin that invocation verbatim.
+
+_AXON_SITE = "/root/.axon_site"
+
+
+def _run_driver_style(code, timeout=420):
+    """Run `python -c code` the way the driver does: JAX_PLATFORMS unset,
+    axon sitecustomize (if present) ahead of the repo on PYTHONPATH."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    pythonpath = _REPO
+    if os.path.isdir(_AXON_SITE):
+        pythonpath = _AXON_SITE + os.pathsep + pythonpath
+    env["PYTHONPATH"] = pythonpath
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=_REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_dryrun_multichip_driver_invocation():
+    r = _run_driver_style(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "8-device" in r.stdout and "step OK" in r.stdout
+
+
+def test_dryrun_multichip_odd_device_count():
+    # n < 4 falls back to a pure data-parallel 1-D mesh.
+    r = _run_driver_style(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(2)"
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "2-device data-parallel step OK" in r.stdout
