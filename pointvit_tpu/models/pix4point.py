@@ -139,15 +139,20 @@ class Pix4Point(nn.Module):
 
 def pix4point_trainable_mask(params, *, frozen: bool = False):
     """Trainable-parameter mask. ``frozen=True`` freezes the ViT trunk
-    (blocks, final norm, cls token/pos — reference pattern ``'vit' in name``,
-    pix4point.py:229-232) while the tokenizer, proj, pos-embed MLP, and head
-    train."""
+    (blocks + final norm — reference pattern ``'vit' in name``,
+    pix4point.py:229-232) while the tokenizer, proj, pos-embed MLP, cls
+    token/pos, and head train.
+
+    cls_token/cls_pos stay TRAINABLE in frozen mode: the reference registers
+    the shared cls parameters directly on PointViT (pix4point.py:226-227),
+    so deduped ``named_parameters()`` yields them under their un-prefixed
+    names first and ``'vit' in name`` never matches them."""
     import jax.tree_util as jtu
 
     if not frozen:
         return jax.tree.map(lambda _: True, params)
 
-    frozen_markers = ("blocks_", "/norm/", "cls_token", "cls_pos")
+    frozen_markers = ("blocks_", "/norm/")
 
     def trainable(path) -> bool:
         keys = "/" + "/".join(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import threading
 from typing import Any
 
@@ -25,27 +26,50 @@ from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "wait_for_pending_writes"]
 
-# Single background writer: checkpoint bytes are fully materialized on the
-# host before handing off, so training never blocks on (slow container) disk.
-_write_lock = threading.Lock()
-_pending: list[threading.Thread] = []
+# Single background writer thread draining a FIFO queue: checkpoint bytes are
+# fully materialized on the host before handing off, so training never blocks
+# on (slow container) disk, and successive saves to the SAME filename (e.g.
+# model_best.msgpack improving across epochs) land in submission order — a
+# thread-per-save design with a bare Lock has no such ordering guarantee.
+_queue: "queue.Queue[tuple | None]" = queue.Queue()
+_writer: threading.Thread | None = None
+_writer_lock = threading.Lock()
+
+
+def _writer_loop() -> None:
+    while True:
+        item = _queue.get()
+        try:
+            if item is not None:
+                _write_file(*item)
+        finally:
+            _queue.task_done()
+
+
+def _ensure_writer() -> None:
+    global _writer
+    with _writer_lock:
+        if _writer is None or not _writer.is_alive():
+            _writer = threading.Thread(target=_writer_loop, daemon=True)
+            _writer.start()
 
 
 def wait_for_pending_writes() -> None:
     """Block until all async checkpoint writes have finished."""
-    while _pending:
-        t = _pending.pop()
-        t.join()
+    _queue.join()
 
 
 def _write_file(path: str, blob: bytes, meta_path: str, meta: str) -> None:
+    # tmp + os.replace for BOTH files: readers never see partial blobs, and a
+    # crash can't leave a corrupt meta next to a valid checkpoint.
     tmp = path + ".tmp"
-    with _write_lock:
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)  # atomic: readers never see partial files
-        with open(meta_path, "w") as f:
-            f.write(meta)
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    meta_tmp = meta_path + ".tmp"
+    with open(meta_tmp, "w") as f:
+        f.write(meta)
+    os.replace(meta_tmp, meta_path)
 
 
 def save_checkpoint(
@@ -93,11 +117,8 @@ def save_checkpoint(
         default=str,
     )
     if async_write:
-        t = threading.Thread(
-            target=_write_file, args=(path, blob, path + ".json", meta), daemon=True
-        )
-        t.start()
-        _pending.append(t)
+        _ensure_writer()
+        _queue.put((path, blob, path + ".json", meta))
     else:
         _write_file(path, blob, path + ".json", meta)
     return path

@@ -143,10 +143,14 @@ class TestPix4Point:
         _, _, variables = setup
         params = variables["params"]
         mask = pix4point_trainable_mask(params, frozen=True)
-        # trunk blocks + final norm + cls token frozen
+        # trunk blocks + final norm frozen
         assert not mask["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
         assert not mask["model"]["norm"]["scale"]
-        assert not mask["model"]["cls_token"]
+        # cls token/pos train even in frozen mode: the reference's
+        # 'vit' in name freeze never matches the un-prefixed direct
+        # registrations (reference pix4point.py:226-232)
+        assert mask["model"]["cls_token"]
+        assert mask["model"]["cls_pos"]
         # tokenizer / proj / pos-embed / head trainable
         assert mask["model"]["patch_embed"]["s0_conv1_0"]["kernel"]
         assert mask["model"]["proj"]["kernel"]
