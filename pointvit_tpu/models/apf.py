@@ -47,12 +47,20 @@ class AdaptPointFormer(nn.Module):
     dropout_path_rate: float = 0.1
     adapter_bottleneck: int = 64
     dtype: jnp.dtype = jnp.float32
+    # Serving mode: run the encoder/qkv/proj/fc matmuls in dynamic w8a8 int8
+    # (pointvit_tpu.nn.quant; ~1.5-1.8x MXU rate on v5e). Inference only.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
         if points.shape[-1] != self.in_channels:
             raise ValueError(
                 f"expected {self.in_channels} input channels, got {points.shape[-1]}"
+            )
+        if self.quantized and train:
+            raise ValueError(
+                "quantized=True is an inference-only mode (int8 round() has "
+                "zero gradient); construct with quantized=False for training"
             )
         xyz = points[..., :3]
         key = self.make_rng("fps") if self.has_rng("fps") else None
@@ -62,9 +70,12 @@ class AdaptPointFormer(nn.Module):
         neighborhood, _ = apf_group(
             points, xyz, self.npoint, self.nsample, key=key
         )
-        x = GroupFeatureEncoder(self.embedding_dim, dtype=self.dtype, name="point_encoder")(
-            neighborhood.astype(self.dtype), train=train
-        )
+        x = GroupFeatureEncoder(
+            self.embedding_dim,
+            dtype=self.dtype,
+            quantized=self.quantized,
+            name="point_encoder",
+        )(neighborhood.astype(self.dtype), train=train)
 
         # Stochastic-depth schedule: linspace(0, rate, depth) (apf.py:298).
         dpr = np.linspace(0.0, self.dropout_path_rate, self.depth)
@@ -75,6 +86,7 @@ class AdaptPointFormer(nn.Module):
                 drop_path_rate=float(dpr[i]),
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                quantized=self.quantized,
                 name=f"blocks_{i}",
             )(x, deterministic=not train)
 

@@ -13,6 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pointvit_tpu.nn.quant import dense
+
 __all__ = [
     "Mlp",
     "Attention",
@@ -40,14 +42,15 @@ class Mlp(nn.Module):
     out_features: int | None = None
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = dense(self.quantized, self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.Dense(out_features, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.quantized, out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         return x
 
@@ -75,12 +78,15 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     implementation: str | None = None
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = dense(
+            self.quantized, 3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
 
         impl = self.implementation
         if impl is None:
@@ -101,7 +107,7 @@ class Attention(nn.Module):
             else:
                 out = jax.nn.dot_product_attention(q, k, v)
             out = out.reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return dense(self.quantized, C, dtype=self.dtype, name="proj")(out)
 
 
 class DropPath(nn.Module):

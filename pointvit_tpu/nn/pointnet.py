@@ -36,22 +36,27 @@ class GroupFeatureEncoder(nn.Module):
 
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, groups: jax.Array, *, train: bool = False) -> jax.Array:
+        from pointvit_tpu.nn.quant import dense
+
         E = self.embed_dim
         B, G, K, C = groups.shape
         # Flatten groups to 3D (B·G, K, C) — matches the reference's reshape
         # (apf.py:157) and sidesteps an XLA TPU fusion crash in the backward
         # select-and-scatter of 4D bf16 max-pools.
         x = groups.reshape(B * G, K, C)
+        # first_0 stays bf16: its contraction dim (C≈6-8) is far below the
+        # MXU tile and the layer is <0.1% of encoder FLOPs.
         x = nn.Dense(256, dtype=self.dtype, name="first_0")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="first_bn0", **_BN)(x)
         x = nn.relu(x)
-        x = nn.Dense(512, dtype=self.dtype, name="first_1")(x)
+        x = dense(self.quantized, 512, dtype=self.dtype, name="first_1")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="first_bn1", **_BN)(x)
         x = nn.relu(x)
-        x = nn.Dense(E, dtype=self.dtype, name="first_2")(x)
+        x = dense(self.quantized, E, dtype=self.dtype, name="first_2")(x)
 
         g = jnp.max(x, axis=-2, keepdims=True)  # (B·G, 1, E)
 
@@ -65,16 +70,16 @@ class GroupFeatureEncoder(nn.Module):
         xg = nn.Dense(
             2 * E, use_bias=True, kernel_init=half_init, dtype=self.dtype,
             name="second_0_global",
-        )(g)  # (B·G, 1, 2E)
-        xl = nn.Dense(
-            2 * E, use_bias=False, kernel_init=half_init, dtype=self.dtype,
-            name="second_0_local",
+        )(g)  # (B·G, 1, 2E) — per-group only; too small to quantize usefully
+        xl = dense(
+            self.quantized, 2 * E, use_bias=False, kernel_init=half_init,
+            dtype=self.dtype, name="second_0_local",
         )(x)  # (B·G, K, 2E)
         x = xg + xl
 
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="second_bn0", **_BN)(x)
         x = nn.relu(x)
-        x = nn.Dense(E, dtype=self.dtype, name="second_1")(x)
+        x = dense(self.quantized, E, dtype=self.dtype, name="second_1")(x)
         return jnp.max(x, axis=-2).reshape(B, G, E)
 
 

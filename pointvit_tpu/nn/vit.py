@@ -79,12 +79,15 @@ class APFBlock(nn.Module):
     drop_path_rate: float = 0.0
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = Attention(self.num_heads, dtype=self.dtype, name="attention")(h)
+        h = Attention(
+            self.num_heads, dtype=self.dtype, quantized=self.quantized, name="attention"
+        )(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
 
         adapt = AdapterLayer(
@@ -96,7 +99,9 @@ class APFBlock(nn.Module):
         )(x, deterministic=deterministic)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = Mlp(dim * 4, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        h = Mlp(
+            dim * 4, dtype=self.dtype, quantized=self.quantized, name="mlp"
+        )(h, deterministic=deterministic)
         h = DropPath(self.drop_path_rate)(h, deterministic=deterministic)
         return h + adapt + x
 

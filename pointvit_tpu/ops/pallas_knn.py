@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn_group_pallas"]
 
 
+_LANE_BITS = 10  # supports N ≤ 1024 packed into the mantissa tail
+_LANE_MASK = (1 << _LANE_BITS) - 1
+
+
 def _knn_kernel(k: int, n_points: int, cf: int, ctr_ref, pts_ref, feat_ref, idx_ref, out_ref):
     S = ctr_ref.shape[1]
     cx = ctr_ref[0, :, 0:1]  # (S, 1)
@@ -46,24 +50,36 @@ def _knn_kernel(k: int, n_points: int, cf: int, ctr_ref, pts_ref, feat_ref, idx_
     idx_lane = lax.broadcasted_iota(jnp.int32, (S, k), 1)
     fcol = lax.broadcasted_iota(jnp.int32, (S, k * cf), 1) // cf
 
+    # Packed keys: squared distances are non-negative f32, whose int32 bit
+    # patterns are order-isomorphic, so (bits & ~LANE_MASK) | lane is one
+    # int32 that sorts by distance with ties going to the LOWEST index —
+    # exactly lax.top_k's tie rule. Each extraction round is then a single
+    # int-min reduce + one compare pass, instead of the float min / masked
+    # index-min / re-mask chain (~3 fewer (S, N) passes per round). Stealing
+    # the 10 mantissa tail bits perturbs distances by ≤2⁻¹³ relative — only
+    # near-exact ties can reorder.
+    key = (
+        lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)
+    ) | lane
+
     idx_acc = jnp.zeros((S, k), jnp.int32)
     feat_acc = jnp.zeros((S, k * cf), jnp.float32)
 
     def body(j, carry):
-        d, idx_acc, feat_acc = carry
-        m = jnp.min(d, axis=1, keepdims=True)
-        jidx = jnp.min(jnp.where(d == m, lane, n_points), axis=1)  # (S,)
-        sel = lane == jidx[:, None]  # exactly one True per row
+        key, idx_acc, feat_acc = carry
+        m = jnp.min(key, axis=1, keepdims=True)  # (S, 1) — winner key
+        jidx = m[:, 0] & _LANE_MASK  # (S,) winner lane
+        sel = key == m  # exactly one True per row (lane embedded in key)
         g = jnp.dot(
             sel.astype(jnp.float32), feats, preferred_element_type=jnp.float32
         )  # (S, CF) one-hot gather on the MXU
         idx_acc = jnp.where(idx_lane == j, jidx[:, None], idx_acc)
         g_blocks = jnp.concatenate([g] * k, axis=1)  # (S, k·CF), block j = g
         feat_acc = jnp.where(fcol == j, g_blocks, feat_acc)
-        d = jnp.where(sel, jnp.float32(jnp.inf), d)
-        return d, idx_acc, feat_acc
+        key = jnp.where(sel, jnp.int32(2**31 - 1), key)
+        return key, idx_acc, feat_acc
 
-    _, idx_acc, feat_acc = lax.fori_loop(0, k, body, (d, idx_acc, feat_acc))
+    _, idx_acc, feat_acc = lax.fori_loop(0, k, body, (key, idx_acc, feat_acc))
     idx_ref[0] = idx_acc
     out_ref[0] = feat_acc
 
@@ -91,6 +107,11 @@ def knn_group_pallas(
          grouped (B, S, k, C) — ``features`` gathered at those indices).
     """
     B, N, _ = points.shape
+    if N > (1 << _LANE_BITS):
+        raise ValueError(
+            f"packed-key kNN kernel supports N ≤ {1 << _LANE_BITS}, got {N} "
+            "(use the XLA knn_indices/knn_gather path)"
+        )
     S = centers.shape[1]
     C = features.shape[-1]
     planes = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
