@@ -20,7 +20,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_hybrid_mesh",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+    "transformer_tp_shardings",
+]
 
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
@@ -50,3 +57,66 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params, optimizer state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def make_hybrid_mesh(
+    devices=None,
+    model_parallel: int = 1,
+    *,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    """2-D (data × model) mesh for hybrid DP×TP.
+
+    With ``model_parallel=1`` this degenerates to pure data parallelism (the
+    model axis has size 1 — specs mentioning it become no-ops), so callers
+    can use one code path for both layouts.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    return Mesh(
+        np.asarray(devices).reshape(n // model_parallel, model_parallel),
+        (data_axis, model_axis),
+    )
+
+
+def transformer_tp_shardings(
+    params,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    column_markers: tuple[str, ...] = ("qkv", "fc1"),
+    row_markers: tuple[str, ...] = ("/proj/", "fc2"),
+):
+    """Megatron-style tensor-parallel layout for transformer params.
+
+    qkv and fc1 kernels are COLUMN-sharded over ``model_axis`` (each device
+    holds a head/hidden slice), proj and fc2 kernels ROW-sharded (partial
+    sums all-reduced by GSPMD), everything else replicated. Matching is by
+    flattened param path, so the rules apply to every block of every model
+    family here (Attention/Mlp layer names are shared). Returns a pytree of
+    ``NamedSharding`` matching ``params``; GSPMD propagates activation
+    shardings and inserts the collectives.
+
+    The reference has no distribution at all (SURVEY.md §2) — this is the
+    TPU-native scaling path, validated on virtual-device meshes in
+    ``tests/test_multichip.py`` and driven by ``__graft_entry__.dryrun_multichip``.
+    """
+    import jax.tree_util as jtu
+
+    def spec(path):
+        keys = "/".join(p.key for p in path if isinstance(p, jtu.DictKey))
+        if keys.endswith("kernel"):
+            if any(m in keys for m in column_markers):
+                return P(None, model_axis)
+            if any(m in f"/{keys}/" for m in row_markers):
+                return P(model_axis, None)
+        return P()
+
+    flat, treedef = jtu.tree_flatten_with_path(params)
+    return jtu.tree_unflatten(
+        treedef, [NamedSharding(mesh, spec(p)) for p, _ in flat]
+    )
