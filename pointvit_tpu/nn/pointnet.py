@@ -37,6 +37,22 @@ class GroupFeatureEncoder(nn.Module):
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    # None = auto (fused Pallas kernel on TPU inference), 'fused' / 'xla' force.
+    implementation: str | None = None
+
+    def _fused_ok(self, B: int, G: int, *, train: bool) -> bool:
+        if self.implementation == "xla" or train or self.quantized:
+            return False
+        if self.is_initializing() or not self.has_variable("batch_stats", "first_bn0"):
+            return False
+        if (B * G) % 16 != 0:
+            return False
+        if self.implementation == "fused":
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
 
     @nn.compact
     def __call__(self, groups: jax.Array, *, train: bool = False) -> jax.Array:
@@ -44,6 +60,21 @@ class GroupFeatureEncoder(nn.Module):
 
         E = self.embed_dim
         B, G, K, C = groups.shape
+        if self._fused_ok(B, G, train=train):
+            # Inference: the whole encoder runs as one Pallas kernel with the
+            # BatchNorms folded into the matmuls — the (B·G, K, 2E) second-stack
+            # intermediate never reaches HBM (see ops/pallas_encoder.py).
+            from pointvit_tpu.ops.pallas_encoder import (
+                fold_encoder_params,
+                fused_group_encoder,
+            )
+
+            weights = fold_encoder_params(
+                self.variables["params"], self.variables["batch_stats"]
+            )
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            x = groups.astype(self.dtype).reshape(B * G, K, C)
+            return fused_group_encoder(x, weights, interpret).reshape(B, G, E)
         # Flatten groups to 3D (B·G, K, C) — matches the reference's reshape
         # (apf.py:157) and sidesteps an XLA TPU fusion crash in the backward
         # select-and-scatter of 4D bf16 max-pools.

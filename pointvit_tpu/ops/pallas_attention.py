@@ -73,6 +73,41 @@ def _mha_qkv_kernel(num_heads: int, head_dim: int, qkv_ref, o_ref):
         _attn_head(scale, q, k, v, o_ref, sl)
 
 
+# Two-pass scheduling: the per-head QK^T → softmax → PV chain serializes the
+# MXU against the VPU (measured 20 TFLOP/s at B256/S196/H12/D64). Issuing all
+# heads' QK^T matmuls back-to-back into an f32 VMEM scratch, doing ONE
+# vectorized softmax, then all PV matmuls back-to-back lets Mosaic pipeline
+# each unit's work: 1.486 → 1.042 ms/block measured (benchmarks/attn_variants.py).
+_TWO_PASS_SCRATCH_BUDGET = 7 * 2**20  # bytes of f32 logits scratch
+
+
+def _mha_qkv_kernel_two_pass(
+    num_heads: int, head_dim: int, n_items: int, qkv_ref, o_ref, lg_ref
+):
+    scale = head_dim**-0.5
+    E = num_heads * head_dim
+    for i in range(n_items):
+        for h in range(num_heads):
+            q = qkv_ref[i, :, h * head_dim : (h + 1) * head_dim]
+            k = qkv_ref[i, :, E + h * head_dim : E + (h + 1) * head_dim]
+            lg_ref[i * num_heads + h] = (
+                lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+    lg = lg_ref[...]
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+    for i in range(n_items):
+        for h in range(num_heads):
+            v = qkv_ref[i, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
+            o_ref[i, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+                p[i * num_heads + h], v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mha_pallas(q, k, v, *, interpret: bool = False):
     B, S, H, D = q.shape
@@ -119,6 +154,24 @@ def _mha_qkv_pallas(qkv, num_heads: int, *, interpret: bool = False):
     B, S, three_e = qkv.shape
     E = three_e // 3
     D = E // num_heads
+    lg_bytes = num_heads * S * S * 4
+    n_items = 2 if (B % 2 == 0 and 2 * lg_bytes <= _TWO_PASS_SCRATCH_BUDGET) else 1
+    if n_items * lg_bytes <= _TWO_PASS_SCRATCH_BUDGET:
+        return pl.pallas_call(
+            functools.partial(_mha_qkv_kernel_two_pass, num_heads, D, n_items),
+            grid=(B // n_items,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_items, S, 3 * E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (n_items, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, S, E), qkv.dtype),
+            scratch_shapes=[pltpu.VMEM((n_items * num_heads, S, S), jnp.float32)],
+            interpret=interpret,
+        )(qkv)
     kernel = functools.partial(_mha_qkv_kernel, num_heads, D)
     return pl.pallas_call(
         kernel,

@@ -33,6 +33,26 @@ def test_mha_qkv_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_mha_qkv_odd_batch_and_legacy_fallback(monkeypatch):
+    """Odd B takes the 1-item two-pass kernel; a zero scratch budget forces
+    the legacy per-head kernel. All three agree with the einsum reference."""
+    import pointvit_tpu.ops.pallas_attention as pa
+
+    B, S, H, D = 3, 20, 4, 16
+    qkv = _rand((B, S, 3 * H * D), 11)
+    ref = _reference_mha_qkv(qkv, H)
+    got_odd = _mha_qkv_pallas(qkv, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_odd), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    monkeypatch.setattr(pa, "_TWO_PASS_SCRATCH_BUDGET", 0)
+    qkv2 = _rand((5, S, 3 * H * D), 12)  # new shape → new trace under the patch
+    ref2 = _reference_mha_qkv(qkv2, H)
+    got_legacy = _mha_qkv_pallas(qkv2, H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_legacy), np.asarray(ref2), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fused_mha_qkv_grads_match_reference():
     B, S, H, D = 1, 16, 2, 8
     qkv = _rand((B, S, 3 * H * D), 4)
