@@ -191,7 +191,11 @@ class Trainer:
         self.state = self._init_state(seed)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl)
-        self._init_metrics_csv()
+        # CSV prep is deferred to train(): a resumed run (construct →
+        # load_checkpoint → train) must not truncate the existing history
+        # at construction time.
+        self.start_epoch = 0
+        self.best_acc = 0.0
 
         from pointvit_tpu.utils.profiling import StepTimer, enable_compilation_cache
 
@@ -393,10 +397,24 @@ class Trainer:
 
     # -- metrics / checkpoints -------------------------------------------
 
-    def _init_metrics_csv(self) -> None:
+    def _prepare_metrics_csv(self) -> None:
+        """Fresh run: (re)write the header. Resumed run (``start_epoch > 0``):
+        keep the existing history up to the restored epoch and append from
+        there — one continuous CSV across kill-and-resume (the reference
+        truncates and silently rewrites history, pix4point_trainer.py:210-217;
+        fixed here)."""
         headers = ["epoch", "train_loss", "train_accuracy", "test_loss", "test_accuracy"]
         if self.log_lr:
             headers.append("learning_rate")
+        if self.start_epoch > 0 and os.path.exists(self.metrics_csv_path):
+            with open(self.metrics_csv_path, newline="") as f:
+                rows = list(csv.reader(f))
+            kept = [r for r in rows[1:] if r and int(r[0]) <= self.start_epoch]
+            with open(self.metrics_csv_path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(rows[0] if rows else headers)
+                w.writerows(kept)
+            return
         with open(self.metrics_csv_path, "w", newline="") as f:
             csv.writer(f).writerow(headers)
 
@@ -442,6 +460,11 @@ class Trainer:
         )
         self.state = replicate(self.state, self.mesh)
         self._refresh_frozen_cache()
+        # Resume bookkeeping: continue the epoch loop after the restored
+        # epoch, don't regress the best-checkpoint bar, and append to (not
+        # truncate) the metrics CSV.
+        self.start_epoch = int(restored["epoch"]) + 1
+        self.best_acc = float(restored.get("accuracy") or 0.0)
         print(
             f"Loaded checkpoint from epoch {restored['epoch']} "
             f"with accuracy {restored['accuracy']:.4f}"
@@ -451,8 +474,9 @@ class Trainer:
 
     def train(self) -> float:
         """Run the full training loop; returns best test accuracy."""
-        best_acc = 0.0
-        for epoch in range(self.epochs):
+        self._prepare_metrics_csv()
+        best_acc = self.best_acc
+        for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             if self.profile_dir and epoch == 0:
                 from pointvit_tpu.utils.profiling import profile_trace
@@ -489,6 +513,7 @@ class Trainer:
         from pointvit_tpu.train.checkpoint import wait_for_pending_writes
 
         wait_for_pending_writes()
+        self.best_acc = best_acc
         print(f"\nTraining completed. Best test accuracy: {best_acc:.4f}")
         print(f"Training metrics saved to {self.metrics_csv_path}")
         return best_acc

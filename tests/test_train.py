@@ -110,6 +110,36 @@ class TestAPFTrainer:
         )
         assert same_qkv  # same seed init + frozen → unchanged by training
 
+    def test_kill_and_resume_continuous_csv(self, sonn_root, tmp_path):
+        """Kill-and-resume: a fresh process restoring an interval checkpoint
+        continues from the next epoch, appends to (not truncates) the CSV,
+        and keeps the optimizer step counter running."""
+        from pointvit_tpu.train import APFTrainer
+
+        out = str(tmp_path / "apf_resume")
+        mc, dc, tc = _tiny_apf_configs(sonn_root)
+        tc = {**tc, "epochs": 2, "save_interval": 1}
+        trainer = APFTrainer(mc, dc, tc, output_dir=out)
+        trainer.train()
+        csv_path = os.path.join(out, "training_metrics.csv")
+        rows = open(csv_path).read().strip().split("\n")
+        assert [r.split(",")[0] for r in rows[1:]] == ["1", "2"]
+        step_after_2 = int(trainer.state.step)
+
+        # "new process": fresh trainer on the same output dir + restore
+        trainer2 = APFTrainer(mc, dc, {**tc, "epochs": 3}, output_dir=out)
+        # construction alone must not clobber the history
+        assert open(csv_path).read().strip().split("\n") == rows
+        trainer2.load_checkpoint(os.path.join(out, "model_epoch_2.msgpack"))
+        assert trainer2.start_epoch == 2
+        assert int(trainer2.state.step) == step_after_2
+        trainer2.train()
+
+        rows2 = open(csv_path).read().strip().split("\n")
+        assert [r.split(",")[0] for r in rows2[1:]] == ["1", "2", "3"]
+        assert rows2[1:3] == rows[1:3]  # history preserved verbatim
+        assert int(trainer2.state.step) == step_after_2 + step_after_2 // 2
+
     def test_checkpoint_roundtrip(self, sonn_root, tmp_path):
         from pointvit_tpu.train import APFTrainer
 
