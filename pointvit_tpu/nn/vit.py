@@ -80,10 +80,38 @@ class APFBlock(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    # None = auto (two fused Pallas kernels on TPU inference), 'fused'/'xla'.
+    implementation: str | None = None
+
+    def _fused_ok(self, deterministic: bool) -> bool:
+        if self.implementation == "xla" or not deterministic or self.quantized:
+            return False
+        if self.is_initializing() or not self.has_variable("params", "norm1"):
+            return False
+        if self.implementation == "fused":
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
+        if self._fused_ok(deterministic):
+            # Inference: the whole block runs as two Pallas kernels (attn
+            # half / mlp+adapter half) — LayerNorms, residuals, and the
+            # adapter glue never round-trip HBM (ops/pallas_block.py).
+            from pointvit_tpu.ops.pallas_block import (
+                apf_block_weights,
+                fused_apf_block,
+            )
+
+            weights = apf_block_weights(self.variables["params"])
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return fused_apf_block(
+                x.astype(self.dtype), weights, self.num_heads, interpret
+            )
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(
             self.num_heads, dtype=self.dtype, quantized=self.quantized, name="attention"

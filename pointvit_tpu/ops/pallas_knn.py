@@ -35,17 +35,11 @@ _LANE_BITS = 10  # supports N ≤ 1024 packed into the mantissa tail
 _LANE_MASK = (1 << _LANE_BITS) - 1
 
 
-def _knn_kernel(k: int, n_points: int, cf: int, ctr_ref, pts_ref, feat_ref, idx_ref, out_ref):
+def _knn_kernel(
+    k: int, n_points: int, cf: int, n_items: int,
+    ctr_ref, pts_ref, feat_ref, idx_ref, out_ref,
+):
     S = ctr_ref.shape[1]
-    cx = ctr_ref[0, :, 0:1]  # (S, 1)
-    cy = ctr_ref[0, :, 1:2]
-    cz = ctr_ref[0, :, 2:3]
-    x = pts_ref[0, 0:1, :]  # (1, N)
-    y = pts_ref[0, 1:2, :]
-    z = pts_ref[0, 2:3, :]
-    feats = feat_ref[0]  # (N, CF)
-
-    d = (cx - x) ** 2 + (cy - y) ** 2 + (cz - z) ** 2  # (S, N) f32
     lane = lax.broadcasted_iota(jnp.int32, (S, n_points), 1)
     idx_lane = lax.broadcasted_iota(jnp.int32, (S, k), 1)
     fcol = lax.broadcasted_iota(jnp.int32, (S, k * cf), 1) // cf
@@ -58,15 +52,25 @@ def _knn_kernel(k: int, n_points: int, cf: int, ctr_ref, pts_ref, feat_ref, idx_
     # index-min / re-mask chain (~3 fewer (S, N) passes per round). Stealing
     # the 10 mantissa tail bits perturbs distances by ≤2⁻¹³ relative — only
     # near-exact ties can reorder.
-    key = (
-        lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)
-    ) | lane
+    #
+    # n_items clouds are processed per grid step with their rounds
+    # interleaved: each round's min-reduce is a lane-shuffle latency chain,
+    # and the independent chains of the other clouds fill those stalls.
+    keys, featss = [], []
+    for i in range(n_items):
+        cx = ctr_ref[i, :, 0:1]  # (S, 1)
+        cy = ctr_ref[i, :, 1:2]
+        cz = ctr_ref[i, :, 2:3]
+        x = pts_ref[i, 0:1, :]  # (1, N)
+        y = pts_ref[i, 1:2, :]
+        z = pts_ref[i, 2:3, :]
+        d = (cx - x) ** 2 + (cy - y) ** 2 + (cz - z) ** 2  # (S, N) f32
+        keys.append(
+            (lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)) | lane
+        )
+        featss.append(feat_ref[i])  # (N, CF)
 
-    idx_acc = jnp.zeros((S, k), jnp.int32)
-    feat_acc = jnp.zeros((S, k * cf), jnp.float32)
-
-    def body(j, carry):
-        key, idx_acc, feat_acc = carry
+    def one_round(j, key, idx_acc, feat_acc, feats):
         m = jnp.min(key, axis=1, keepdims=True)  # (S, 1) — winner key
         jidx = m[:, 0] & _LANE_MASK  # (S,) winner lane
         sel = key == m  # exactly one True per row (lane embedded in key)
@@ -79,18 +83,33 @@ def _knn_kernel(k: int, n_points: int, cf: int, ctr_ref, pts_ref, feat_ref, idx_
         key = jnp.where(sel, jnp.int32(2**31 - 1), key)
         return key, idx_acc, feat_acc
 
-    _, idx_acc, feat_acc = lax.fori_loop(0, k, body, (key, idx_acc, feat_acc))
-    idx_ref[0] = idx_acc
-    out_ref[0] = feat_acc
+    def body(j, carry):
+        return tuple(
+            one_round(j, *carry[i], featss[i]) for i in range(n_items)
+        )
+
+    init = tuple(
+        (
+            keys[i],
+            jnp.zeros((S, k), jnp.int32),
+            jnp.zeros((S, k * cf), jnp.float32),
+        )
+        for i in range(n_items)
+    )
+    final = lax.fori_loop(0, k, body, init)
+    for i in range(n_items):
+        idx_ref[i] = final[i][1]
+        out_ref[i] = final[i][2]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "items_per_step", "interpret"))
 def knn_group_pallas(
     points: jax.Array,
     centers: jax.Array,
     features: jax.Array,
     k: int,
     *,
+    items_per_step: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused kNN indices + gathered neighbour features.
@@ -116,18 +135,25 @@ def knn_group_pallas(
     C = features.shape[-1]
     planes = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
 
-    kernel = functools.partial(_knn_kernel, k, N, C)
+    # Measured (v5e, B256/S196/N1024/k32): interleaving 2 clouds per grid
+    # step SLOWS the kernel 15.5 → 19.1 ms — the extraction rounds are VPU
+    # throughput-bound, not reduce-latency-bound, so extra live state only
+    # adds pressure. Default stays 1; the parameter remains for experiments.
+    if items_per_step is None:
+        items_per_step = 1
+    n = items_per_step if B % items_per_step == 0 else 1
+    kernel = functools.partial(_knn_kernel, k, N, C, n)
     idx, grouped = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // n,),
         in_specs=[
-            pl.BlockSpec((1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, k * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, S, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, S, k * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),
