@@ -34,6 +34,11 @@ from pointvit_tpu.pretrained.convert import (
     load_torchvision_vit_weights,
     torch_linear_to_flax,
 )
+from pointvit_tpu.pretrained.hf import (
+    hf_vit_to_timm,
+    hf_vit_to_torchvision,
+    is_hf_vit_state_dict,
+)
 
 __all__ = [
     "cache_dir",
@@ -46,4 +51,7 @@ __all__ = [
     "load_pix4point_vit_weights",
     "load_torchvision_vit_weights",
     "torch_linear_to_flax",
+    "hf_vit_to_timm",
+    "hf_vit_to_torchvision",
+    "is_hf_vit_state_dict",
 ]

@@ -61,6 +61,19 @@ def torch_linear_to_flax(weight: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(weight.T)
 
 
+def _maybe_hf(sd, target: str):
+    """Auto-convert a HuggingFace ViTModel state dict to the expected schema."""
+    from pointvit_tpu.pretrained.hf import (
+        hf_vit_to_timm,
+        hf_vit_to_torchvision,
+        is_hf_vit_state_dict,
+    )
+
+    if sd is not None and is_hf_vit_state_dict(sd):
+        return hf_vit_to_timm(sd) if target == "timm" else hf_vit_to_torchvision(sd)
+    return sd
+
+
 def _set(params, path: list[str], value: np.ndarray) -> bool:
     """Assign into a nested dict if the leaf exists with a matching shape."""
     node = params
@@ -129,6 +142,7 @@ def load_apf_vit_weights(
     Returns an updated param tree, or None if no cache entry exists.
     """
     sd = state_dict if state_dict is not None else load_state_dict(vit_name)
+    sd = _maybe_hf(sd, "timm")
     if sd is None:
         return None
     params = _copy_tree(params)
@@ -153,6 +167,7 @@ def load_apf_vit_weights(
 def load_pix4point_vit_weights(params, model_name: str, *, state_dict=None):
     """Load a timm ViT into PointViT (model/blocks_i, model/norm, cls token/pos)."""
     sd = state_dict if state_dict is not None else load_state_dict(model_name)
+    sd = _maybe_hf(sd, "timm")
     if sd is None:
         return None
     params = _copy_tree(params)
@@ -177,6 +192,7 @@ def load_pix4point_vit_weights(params, model_name: str, *, state_dict=None):
 def load_torchvision_vit_weights(params, vit_name: str, *, state_dict=None):
     """Load a torchvision ViT into the renderer's ImageViT (params['vit'])."""
     sd = state_dict if state_dict is not None else load_state_dict(vit_name)
+    sd = _maybe_hf(sd, "torchvision")
     if sd is None:
         return None
     params = _copy_tree(params)
