@@ -42,7 +42,6 @@ def _knn_kernel(
     S = ctr_ref.shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (S, n_points), 1)
     idx_lane = lax.broadcasted_iota(jnp.int32, (S, k), 1)
-    fcol = lax.broadcasted_iota(jnp.int32, (S, k * cf), 1) // cf
 
     # Packed keys: squared distances are non-negative f32, whose int32 bit
     # patterns are order-isomorphic, so (bits & ~LANE_MASK) | lane is one
@@ -53,10 +52,11 @@ def _knn_kernel(
     # the 10 mantissa tail bits perturbs distances by ≤2⁻¹³ relative — only
     # near-exact ties can reorder.
     #
-    # n_items clouds are processed per grid step with their rounds
-    # interleaved: each round's min-reduce is a lane-shuffle latency chain,
-    # and the independent chains of the other clouds fill those stalls.
-    keys, featss = [], []
+    # The k rounds are a static Python unroll so each round's gathered
+    # features store straight into the (k, S, CF) output block at a static
+    # index — the fori_loop variant had to place them with a 32-way
+    # concat + masked select per round, which cost more than the gather
+    # matmuls themselves (measured 15.2 vs 8.9 ms at the APF shape).
     for i in range(n_items):
         cx = ctr_ref[i, :, 0:1]  # (S, 1)
         cy = ctr_ref[i, :, 1:2]
@@ -65,41 +65,23 @@ def _knn_kernel(
         y = pts_ref[i, 1:2, :]
         z = pts_ref[i, 2:3, :]
         d = (cx - x) ** 2 + (cy - y) ** 2 + (cz - z) ** 2  # (S, N) f32
-        keys.append(
-            (lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)) | lane
-        )
-        featss.append(feat_ref[i])  # (N, CF)
-
-    def one_round(j, key, idx_acc, feat_acc, feats):
-        m = jnp.min(key, axis=1, keepdims=True)  # (S, 1) — winner key
-        jidx = m[:, 0] & _LANE_MASK  # (S,) winner lane
-        sel = key == m  # exactly one True per row (lane embedded in key)
-        g = jnp.dot(
-            sel.astype(jnp.float32), feats, preferred_element_type=jnp.float32
-        )  # (S, CF) one-hot gather on the MXU
-        idx_acc = jnp.where(idx_lane == j, jidx[:, None], idx_acc)
-        g_blocks = jnp.concatenate([g] * k, axis=1)  # (S, k·CF), block j = g
-        feat_acc = jnp.where(fcol == j, g_blocks, feat_acc)
-        key = jnp.where(sel, jnp.int32(2**31 - 1), key)
-        return key, idx_acc, feat_acc
-
-    def body(j, carry):
-        return tuple(
-            one_round(j, *carry[i], featss[i]) for i in range(n_items)
-        )
-
-    init = tuple(
-        (
-            keys[i],
-            jnp.zeros((S, k), jnp.int32),
-            jnp.zeros((S, k * cf), jnp.float32),
-        )
-        for i in range(n_items)
-    )
-    final = lax.fori_loop(0, k, body, init)
-    for i in range(n_items):
-        idx_ref[i] = final[i][1]
-        out_ref[i] = final[i][2]
+        key = (lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)) | lane
+        feats = feat_ref[i]  # (N, 2·CF) packed [hi | lo] bf16
+        idx_acc = jnp.zeros((S, k), jnp.int32)
+        for j in range(k):
+            m = jnp.min(key, axis=1, keepdims=True)  # (S, 1) — winner key
+            jidx = m[:, 0] & _LANE_MASK  # (S,) winner lane
+            sel = key == m  # exactly one True per row (lane embedded in key)
+            # One-hot gather on the MXU over the split-bf16 payload:
+            # hi + lo reconstructs the f32 value to ~16 mantissa bits
+            # (selection sums exactly one term per row).
+            g2 = jnp.dot(
+                sel.astype(jnp.bfloat16), feats, preferred_element_type=jnp.float32
+            )  # (S, 2·CF)
+            out_ref[i, j] = g2[:, :cf] + g2[:, cf:]
+            idx_acc = jnp.where(idx_lane == j, jidx[:, None], idx_acc)
+            key = jnp.where(sel, jnp.int32(2**31 - 1), key)
+        idx_ref[i] = idx_acc
 
 
 @functools.partial(jax.jit, static_argnames=("k", "items_per_step", "interpret"))
@@ -134,6 +116,13 @@ def knn_group_pallas(
     S = centers.shape[1]
     C = features.shape[-1]
     planes = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    # Split-bf16 feature payload for the in-kernel one-hot gather: value =
+    # hi + lo exactly reconstructs ~16 mantissa bits (f32 has 24; the
+    # consumers run the encoder in bf16 = 8). Distances stay exact f32.
+    f32 = features.astype(jnp.float32)
+    hi = f32.astype(jnp.bfloat16)
+    lo = (f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed = jnp.concatenate([hi, lo], axis=-1)  # (B, N, 2C) bf16
 
     # Measured (v5e, B256/S196/N1024/k32): interleaving 2 clouds per grid
     # step SLOWS the kernel 15.5 → 19.1 ms — the extraction rounds are VPU
@@ -149,16 +138,17 @@ def knn_group_pallas(
         in_specs=[
             pl.BlockSpec((n, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, 2 * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((n, S, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, S, k * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, S, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-            jax.ShapeDtypeStruct((B, S, k * C), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, S, C), jnp.float32),
         ),
         interpret=interpret,
-    )(centers.astype(jnp.float32), planes, features.astype(jnp.float32))
-    return idx, grouped.reshape(B, S, k, C).astype(features.dtype)
+    )(centers.astype(jnp.float32), planes, packed)
+    # kernel emits (B, k, S, C) — rounds along a static-store axis
+    return idx, grouped.transpose(0, 2, 1, 3).astype(features.dtype)

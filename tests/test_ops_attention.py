@@ -94,7 +94,16 @@ def test_knn_group_pallas_interpret_matches_xla():
     g_x = knn_gather(feats, idx_x)
     idx_p, g_p = knn_group_pallas(pts, ctr, feats, K, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-6)
+    # gathered values ride the split-bf16 payload: hi+lo reconstructs ~16
+    # mantissa bits (consumers are bf16 = 8); indices stay exact
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-5, atol=2e-5)
+    # the split itself must reconstruct to 2^-16 relative
+    f32 = np.asarray(feats, np.float32)
+    hi = f32.astype(np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.float32)
+    recon = np.asarray(jnp.asarray(f32).astype(jnp.bfloat16).astype(jnp.float32)) + np.asarray(
+        (jnp.asarray(f32) - jnp.asarray(f32).astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(recon, f32, rtol=2e-5, atol=2e-5)
 
 
 def test_fused_attention_block_matches_reference():
