@@ -146,3 +146,81 @@ def test_transformer_tp_shardings_rules():
     assert blk["mlp"]["fc2"]["kernel"].spec == P("model", None)
     assert blk["attention"]["qkv"]["bias"].spec == P()
     assert blk["norm1"]["scale"].spec == P()
+
+
+def test_multihost_mesh_single_process_shape():
+    """Single-process degenerate: (1, n//mp, mp) with replica outermost."""
+    from pointvit_tpu.parallel import batch_sharding, make_multihost_mesh
+
+    mesh = make_multihost_mesh(model_parallel=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert mesh.devices.shape == (1, 4, 2)
+    mesh1 = make_multihost_mesh()
+    assert mesh1.devices.shape == (1, 8, 1)
+    # joint (replica, data) batch sharding splits axis 0 over 4 devices
+    sh = batch_sharding(mesh, axis_name=("replica", "data"))
+    x = jax.device_put(jnp.arange(8.0).reshape(8, 1), sh)
+    assert len(x.addressable_shards) == 8  # 4-way split × 2-way model replicas
+
+
+def test_multihost_dp_step_matches_single_device():
+    """Full train step over the 3-D (replica×data×model) mesh == 1 device."""
+    from pointvit_tpu.parallel import batch_sharding, make_multihost_mesh, replicate
+
+    model, state, points, labels = _build()
+    loss1, new1 = jax.jit(lambda s, p, l: _step(model, s, p, l))(state, points, labels)
+
+    mesh = make_multihost_mesh(model_parallel=2)
+    bsh = batch_sharding(mesh, axis_name=("replica", "data"))
+    state8 = replicate(state, mesh)
+    p8 = jax.device_put(points, bsh)
+    l8 = jax.device_put(labels, bsh)
+    loss8, new8 = jax.jit(lambda s, p, l: _step(model, s, p, l))(state8, p8, l8)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=2e-5)
+    # compare a large-gradient param (same policy as test_dp8: Adam
+    # normalizes tiny grads, so reduction-order noise dominates small ones)
+    k1 = np.asarray(new1.params["head"]["out"]["kernel"])
+    k8 = np.asarray(new8.params["head"]["out"]["kernel"])
+    np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_kernel_under_shard_map():
+    """Pallas MHA (interpret on CPU) inside shard_map over 8 devices equals
+    the unsharded reference — the pattern real multi-chip serving uses
+    (GSPMD cannot partition a custom call; shard_map launches the kernel
+    per-chip on the local block)."""
+    from pointvit_tpu.ops.pallas_attention import _mha_qkv_pallas, _reference_mha_qkv
+    from pointvit_tpu.parallel import batch_shard_map, make_mesh
+
+    B, S, H, D = 16, 12, 2, 8
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (B, S, 3 * H * D), jnp.float32)
+    mesh = make_mesh()
+    f = batch_shard_map(
+        lambda t: _mha_qkv_pallas(t, H, interpret=True), mesh, axis_names=("data",)
+    )
+    got = jax.jit(f)(qkv)
+    want = _reference_mha_qkv(qkv, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_encoder_under_shard_map():
+    from pointvit_tpu.ops.pallas_encoder import (
+        fold_encoder_params,
+        fused_group_encoder,
+        reference_folded_encoder,
+    )
+    from pointvit_tpu.nn.pointnet import GroupFeatureEncoder
+    from pointvit_tpu.parallel import batch_shard_map, make_mesh
+
+    Bg, K, C, E = 128, 4, 6, 32
+    groups = jax.random.normal(jax.random.PRNGKey(6), (Bg, K, C), jnp.float32)
+    enc = GroupFeatureEncoder(embed_dim=E)
+    variables = enc.init(jax.random.PRNGKey(1), groups[None, :8], train=False)
+    w = fold_encoder_params(variables["params"], variables["batch_stats"])
+    mesh = make_mesh()
+    f = batch_shard_map(lambda x: fused_group_encoder(x, w, True), mesh)
+    with jax.default_matmul_precision("highest"):
+        got = jax.jit(f)(groups)
+        want = reference_folded_encoder(groups, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
