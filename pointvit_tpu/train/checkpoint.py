@@ -24,7 +24,12 @@ import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "wait_for_pending_writes"]
+__all__ = [
+    "save_checkpoint",
+    "save_checkpoint_deferred",
+    "load_checkpoint",
+    "wait_for_pending_writes",
+]
 
 # Single background writer thread draining a FIFO queue: checkpoint bytes are
 # fully materialized on the host before handing off, so training never blocks
@@ -40,7 +45,11 @@ def _writer_loop() -> None:
     while True:
         item = _queue.get()
         try:
-            if item is not None:
+            if item is None:
+                pass
+            elif callable(item):
+                item()
+            else:
                 _write_file(*item)
         finally:
             _queue.task_done()
@@ -121,6 +130,52 @@ def save_checkpoint(
         _queue.put((path, blob, path + ".json", meta))
     else:
         _write_file(path, blob, path + ".json", meta)
+    return path
+
+
+def save_checkpoint_deferred(
+    output_dir: str,
+    filename: str,
+    *,
+    epoch: int,
+    accuracy: float,
+    model_config: dict,
+    dataset_config: dict,
+    fetch,
+) -> str:
+    """Fully asynchronous save: the device→host fetch AND msgpack
+    serialization run on the writer thread, not the training loop.
+
+    ``fetch`` is a zero-arg callable (run on the writer thread) returning the
+    payload dict (``params`` / ``batch_stats`` / ``opt_state`` / ``step`` as
+    host-ready trees). Callers must hand it donation-safe device buffers —
+    the trainer snapshots device-side copies first, since the next donated
+    train step invalidates the live state's buffers. Over a remote-TPU
+    tunnel the device_get is the dominant checkpoint cost; deferring it
+    overlaps the fetch with the next epoch's training.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, filename)
+    meta = json.dumps(
+        {
+            "epoch": epoch,
+            "accuracy": float(accuracy),
+            "model_config": model_config,
+            "dataset_config": dataset_config,
+        },
+        indent=2,
+        default=str,
+    )
+
+    def build_and_write() -> None:
+        payload = {"epoch": epoch, "accuracy": float(accuracy), **fetch()}
+        blob = serialization.msgpack_serialize(
+            _to_numpy(serialization.to_state_dict(payload))
+        )
+        _write_file(path, blob, path + ".json", meta)
+
+    _ensure_writer()
+    _queue.put(build_and_write)
     return path
 
 

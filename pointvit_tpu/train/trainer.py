@@ -32,7 +32,6 @@ import optax
 from flax.training import train_state
 
 from pointvit_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
-from pointvit_tpu.train.checkpoint import save_checkpoint
 from pointvit_tpu.train.train_utils import save_configs
 
 __all__ = ["TrainState", "Trainer", "cross_entropy_loss", "build_optimizer"]
@@ -248,6 +247,50 @@ class Trainer:
         ]
         return jax.tree.unflatten(treedef, merged)
 
+    def _checkpoint_fetch_thunk(self):
+        """Snapshot the state as donation-safe device-side copies and return
+        a thunk that fetches them to host (run later, on the checkpoint
+        writer thread). The next train step donates ``self.state``'s buffers,
+        so the thunk must not touch the live state — only the copies. Device
+        copies ride HBM bandwidth (~ms); the device_get rides the (slow)
+        host link and now overlaps with further training."""
+        flat_params, treedef = jax.tree.flatten(self.state.params)
+        if self._frozen_host is None:
+            param_copies = [jnp.copy(p) for p in flat_params]
+            flat_mask = None
+        else:
+            flat_mask = jax.tree.leaves(self._trainable_mask)
+            param_copies = [
+                jnp.copy(p) if m else None
+                for p, m in zip(flat_params, flat_mask)
+            ]
+        bs_copy = jax.tree.map(jnp.copy, self.state.batch_stats)
+        opt_copy = jax.tree.map(
+            lambda x: jnp.copy(x) if hasattr(x, "shape") else x,
+            self.state.opt_state,
+        )
+        step_copy = jnp.copy(self.state.step)
+        frozen = self._frozen_host
+
+        def fetch():
+            if flat_mask is None:
+                leaves = jax.device_get(param_copies)
+            else:
+                fetched = jax.device_get([c for c in param_copies if c is not None])
+                it = iter(fetched)
+                leaves = [
+                    next(it) if m else cached
+                    for m, cached in zip(flat_mask, frozen)
+                ]
+            return {
+                "params": jax.tree.unflatten(treedef, leaves),
+                "batch_stats": jax.device_get(bs_copy),
+                "opt_state": jax.device_get(opt_copy),
+                "step": int(step_copy),
+            }
+
+        return fetch
+
     # -- initialization ---------------------------------------------------
 
     def _example_batch(self) -> tuple[jax.Array, jax.Array]:
@@ -431,15 +474,16 @@ class Trainer:
             csv.writer(f).writerow(row)
 
     def _save_checkpoint(self, filename: str, epoch: int, accuracy: float) -> None:
-        save_checkpoint(
+        from pointvit_tpu.train.checkpoint import save_checkpoint_deferred
+
+        save_checkpoint_deferred(
             self.output_dir,
             filename,
             epoch=epoch,
-            state=self.state,
             accuracy=accuracy,
             model_config=self.model_config,
             dataset_config=self.dataset_config,
-            params_host=self._host_params(),
+            fetch=self._checkpoint_fetch_thunk(),
         )
 
     def load_checkpoint(self, path: str) -> None:
