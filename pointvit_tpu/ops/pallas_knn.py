@@ -68,6 +68,7 @@ def _knn_kernel(
         key = (lax.bitcast_convert_type(d, jnp.int32) & ~jnp.int32(_LANE_MASK)) | lane
         feats = feat_ref[i]  # (N, 2·CF) packed [hi | lo] bf16
         idx_acc = jnp.zeros((S, k), jnp.int32)
+        gs = []
         for j in range(k):
             m = jnp.min(key, axis=1, keepdims=True)  # (S, 1) — winner key
             jidx = m[:, 0] & _LANE_MASK  # (S,) winner lane
@@ -78,9 +79,13 @@ def _knn_kernel(
             g2 = jnp.dot(
                 sel.astype(jnp.bfloat16), feats, preferred_element_type=jnp.float32
             )  # (S, 2·CF)
-            out_ref[i, j] = g2[:, :cf] + g2[:, cf:]
+            gs.append(g2[:, :cf] + g2[:, cf:])
             idx_acc = jnp.where(idx_lane == j, jidx[:, None], idx_acc)
             key = jnp.where(sel, jnp.int32(2**31 - 1), key)
+        # one lane-concat + one store per item: keeps the output in the
+        # (S, k·CF) layout (k·CF lanes) — emitting (k, S, CF) and
+        # transposing in XLA costs ~7 ms at the bench shape (CF=3 lanes)
+        out_ref[i] = jnp.concatenate(gs, axis=1)
         idx_ref[i] = idx_acc
 
 
@@ -142,13 +147,12 @@ def knn_group_pallas(
         ],
         out_specs=(
             pl.BlockSpec((n, S, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, k, S, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, S, k * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-            jax.ShapeDtypeStruct((B, k, S, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, k * C), jnp.float32),
         ),
         interpret=interpret,
     )(centers.astype(jnp.float32), planes, packed)
-    # kernel emits (B, k, S, C) — rounds along a static-store axis
-    return idx, grouped.transpose(0, 2, 1, 3).astype(features.dtype)
+    return idx, grouped.reshape(B, S, k, C).astype(features.dtype)
