@@ -15,11 +15,13 @@ Replaces torch ``DataLoader`` (apf_trainer.py:144-162 et al.) with two paths:
 
 from __future__ import annotations
 
-from typing import Iterator
+import queue
+import threading
+from typing import Callable, Iterator
 
 import numpy as np
 
-__all__ = ["Loader", "FastLoader", "DeviceDataset"]
+__all__ = ["Loader", "FastLoader", "DeviceDataset", "Prefetcher"]
 
 
 class Loader:
@@ -120,6 +122,63 @@ class FastLoader:
                 if self.use_height and heights is not None:
                     points = np.concatenate([points, heights[..., None]], axis=-1)
             yield points, labels
+
+
+class Prefetcher:
+    """Pipeline host batch prep + host→device transfer behind device compute.
+
+    Wraps any batch iterable: a background thread drains it, applies
+    ``transfer`` (typically a sharded ``jax.device_put``), and parks up to
+    ``depth`` ready device batches in a bounded queue. The training loop then
+    never waits on dataset indexing, augmentation, or the host→device copy —
+    all of it overlaps with the previous step's device execution. (The
+    reference leans on torch ``DataLoader`` workers for the same overlap,
+    apf_trainer.py:144-162; here one thread suffices because the native batch
+    augmenter is already parallel and ``device_put`` releases the GIL.)
+
+    ``depth`` bounds host+HBM memory: at most ``depth + 1`` batches exist
+    beyond the one the device is consuming.
+    """
+
+    def __init__(self, iterable, transfer: Callable | None = None, depth: int = 2):
+        self._iterable = iterable
+        self._transfer = transfer
+        self._depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self._depth)
+        stop = threading.Event()
+        _END = object()
+
+        def worker():
+            try:
+                for item in self._iterable:
+                    if self._transfer is not None:
+                        item = self._transfer(*item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 class DeviceDataset:

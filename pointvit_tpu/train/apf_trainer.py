@@ -255,6 +255,7 @@ class APFTrainer(Trainer):
             train_loader=train_loader,
             test_loader=test_loader,
             trainable_mask=mask,
+            prefetch=train_config.get("prefetch", 2),
         )
 
         pretrained = model_config.get("pretrained", True)

@@ -142,6 +142,7 @@ class Pix4PointTrainer(Trainer):
             train_loader=train_loader,
             test_loader=test_loader,
             trainable_mask=trainable,
+            prefetch=train_config.get("prefetch", 2),
         )
 
         if model_config.get("pretrained", True):

@@ -129,6 +129,7 @@ class RendererTrainer(Trainer):
             test_loader=test_loader,
             trainable_mask=mask,
             epoch_hooks=(_save_views_hook,),
+            prefetch=train_config.get("prefetch", 2),
         )
 
         if model_config.get("pretrained", True):

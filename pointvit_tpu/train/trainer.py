@@ -139,6 +139,7 @@ class Trainer:
         save_config_snapshot: bool = True,
         profile_dir: str | None = None,
         trainable_mask=None,
+        prefetch: int = 2,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -158,6 +159,7 @@ class Trainer:
         self.best_filename = best_filename
         self.save_interval = save_interval
         self.epoch_hooks = epoch_hooks
+        self.prefetch = prefetch
         self._base_key = jax.random.PRNGKey(seed)
 
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -377,16 +379,27 @@ class Trainer:
 
     # -- epochs -----------------------------------------------------------
 
+    def _batches(self, loader, transfer):
+        """Iterate device-ready batches, prefetched on a background thread
+        when ``self.prefetch > 0`` (host prep + device_put overlap with the
+        in-flight device step)."""
+        if self.prefetch > 0:
+            from pointvit_tpu.data.loader import Prefetcher
+
+            return iter(Prefetcher(loader, transfer, depth=self.prefetch))
+        return (transfer(*batch) for batch in loader)
+
     def _train_epoch(self, epoch: int) -> tuple[float, float]:
         loss_sum = jnp.zeros(())
         correct_sum = jnp.zeros(())
         count = 0
         num_batches = 0
-        for i, (points, labels) in enumerate(self.train_loader):
+        for i, (pts, lbl, n) in enumerate(
+            self._batches(self.train_loader, self._train_transfer)
+        ):
             step_key = jax.random.fold_in(
                 jax.random.fold_in(self._base_key, 1 + epoch), i
             )
-            pts, lbl = self._shard(points, labels)
             # Sample step timing: forcing a host read every step would
             # serialize the host pipeline against the device (and pay the
             # full round-trip on remote-TPU tunnels); 1-in-16 keeps the
@@ -402,11 +415,22 @@ class Trainer:
                 self.step_timer.stop(loss)
             loss_sum = loss_sum + loss
             correct_sum = correct_sum + correct
-            count += len(labels)
+            count += n
             num_batches += 1
         if num_batches == 0:
             return 0.0, 0.0
         return float(loss_sum) / num_batches, float(correct_sum) / count
+
+    def _train_transfer(self, points, labels):
+        pts, lbl = self._shard(points, labels)
+        return pts, lbl, len(labels)
+
+    def _eval_transfer(self, points, labels):
+        n = len(labels)
+        points, labels, weights = self._pad_eval_batch(points, labels)
+        pts, lbl = self._shard(points, labels)
+        w = jax.device_put(jnp.asarray(weights), self._batch_shard)
+        return pts, lbl, w, n
 
     def _pad_eval_batch(self, points, labels):
         """Pad ragged final batches to the static batch size with zero-weight
@@ -426,11 +450,8 @@ class Trainer:
         loss_sum = jnp.zeros(())
         correct_sum = jnp.zeros(())
         count = 0
-        for points, labels in self.test_loader:
-            count += len(labels)
-            points, labels, weights = self._pad_eval_batch(points, labels)
-            pts, lbl = self._shard(points, labels)
-            w = jax.device_put(jnp.asarray(weights), self._batch_shard)
+        for pts, lbl, w, n in self._batches(self.test_loader, self._eval_transfer):
+            count += n
             loss, correct = self._eval_step(self.state, pts, lbl, w)
             loss_sum = loss_sum + loss
             correct_sum = correct_sum + correct

@@ -347,3 +347,31 @@ class TestFastCheckpoint:
         full = jax.device_get(trainer.state.params)
         for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(full)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+class TestPrefetch:
+    def test_prefetch_matches_synchronous(self, sonn_root, tmp_path):
+        """Background-thread prefetch (default) must be bit-equivalent to the
+        synchronous path: same batches, same order, same metrics CSV."""
+        from pointvit_tpu.train import APFTrainer
+
+        mc, dc, tc = _tiny_apf_configs(sonn_root)
+        out_a = str(tmp_path / "sync")
+        out_b = str(tmp_path / "pre")
+        APFTrainer(mc, dc, {**tc, "prefetch": 0}, output_dir=out_a).train()
+        APFTrainer(mc, dc, {**tc, "prefetch": 3}, output_dir=out_b).train()
+        csv_a = open(os.path.join(out_a, "training_metrics.csv")).read()
+        csv_b = open(os.path.join(out_b, "training_metrics.csv")).read()
+        assert csv_a == csv_b
+
+    def test_prefetcher_propagates_errors(self):
+        from pointvit_tpu.data.loader import Prefetcher
+
+        def gen():
+            yield (np.zeros(2), np.zeros(2))
+            raise RuntimeError("boom")
+
+        it = iter(Prefetcher(gen(), lambda p, l: (p, l, len(l))))
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
