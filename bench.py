@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from pointvit_tpu.models import AdaptPointFormer
+    import os
+
+    from pointvit_tpu.models import AdaptPointFormer, apf_serving_preset
     from pointvit_tpu.ops import apf_group
     from pointvit_tpu.utils.profiling import enable_compilation_cache
 
@@ -31,6 +33,12 @@ def main() -> None:
     batch = 256
     num_points = 1024
 
+    # Serving preset (documented, flag-gated: models.apf_serving_preset) —
+    # the encoder second stack at width E instead of 2E; everything else is
+    # the reference-exact APF ViT-B. POINTVIT_BENCH_EXACT=1 benches the
+    # reference-exact encoder instead (ledger of both in DESIGN.md).
+    exact = os.environ.get("POINTVIT_BENCH_EXACT", "") == "1"
+    preset = dict(dtype=jnp.bfloat16) if exact else apf_serving_preset()
     model = AdaptPointFormer(
         num_classes=40,
         in_channels=3,
@@ -39,7 +47,7 @@ def main() -> None:
         nsample=32,
         depth=12,
         num_heads=12,
-        dtype=jnp.bfloat16,
+        **preset,
     )
     key = jax.random.PRNGKey(0)
     points = jax.random.normal(key, (batch, num_points, 3), jnp.float32)
@@ -79,7 +87,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ModelNet40 clouds/sec/chip (1024 pts, APF ViT-B bf16 inference)",
+                "metric": (
+                    "ModelNet40 clouds/sec/chip (1024 pts, APF ViT-B bf16 inference"
+                    + ("" if exact else ", serving preset: slim encoder 2nd stack")
+                    + ")"
+                ),
                 "value": round(clouds_per_sec, 1),
                 "unit": "clouds/sec/chip",
                 "vs_baseline": round(clouds_per_sec / 5000.0, 3),

@@ -1,6 +1,6 @@
 """The three model families: APF, Pix4Point, and the multi-view renderer."""
 
-from pointvit_tpu.models.apf import AdaptPointFormer, apf_trainable_mask
+from pointvit_tpu.models.apf import AdaptPointFormer, apf_serving_preset, apf_trainable_mask
 from pointvit_tpu.models.pix4point import (
     VIT_PRESETS,
     Pix4Point,
@@ -17,6 +17,7 @@ from pointvit_tpu.models.registry import get_timm_vit, get_vit
 
 __all__ = [
     "AdaptPointFormer",
+    "apf_serving_preset",
     "apf_trainable_mask",
     "Pix4Point",
     "PointViT",

@@ -39,6 +39,13 @@ class GroupFeatureEncoder(nn.Module):
     quantized: bool = False
     # None = auto (fused Pallas kernel on TPU inference), 'fused' / 'xla' force.
     implementation: str | None = None
+    # Width of the post-concat second stack. None → 2·E, the reference's
+    # exact-parity width (apf.py:160-176). The serving preset sets E: same
+    # structure (global+local fusion, depth, nonlinearity), half the hidden
+    # width — the encoder is ~40% of the model's FLOPs and this halves its
+    # dominant two matmuls (accuracy-neutrality evidence:
+    # results/serving_preset_parity/, DESIGN.md "Serving preset").
+    second_width: int | None = None
 
     def _fused_ok(self, B: int, G: int, *, train: bool) -> bool:
         if self.implementation == "xla" or train or self.quantized:
@@ -97,15 +104,16 @@ class GroupFeatureEncoder(nn.Module):
         # once per *group* instead of per point — exact same arithmetic,
         # K× fewer FLOPs on that half (the single largest matmul here).
         # Init scale 0.5 emulates the fused layer's fan-in of 2E.
+        H = self.second_width or 2 * E
         half_init = nn.initializers.variance_scaling(0.5, "fan_in", "truncated_normal")
         xg = nn.Dense(
-            2 * E, use_bias=True, kernel_init=half_init, dtype=self.dtype,
+            H, use_bias=True, kernel_init=half_init, dtype=self.dtype,
             name="second_0_global",
-        )(g)  # (B·G, 1, 2E) — per-group only; too small to quantize usefully
+        )(g)  # (B·G, 1, H) — per-group only; too small to quantize usefully
         xl = dense(
-            self.quantized, 2 * E, use_bias=False, kernel_init=half_init,
+            self.quantized, H, use_bias=False, kernel_init=half_init,
             dtype=self.dtype, name="second_0_local",
-        )(x)  # (B·G, K, 2E)
+        )(x)  # (B·G, K, H)
         x = xg + xl
 
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="second_bn0", **_BN)(x)

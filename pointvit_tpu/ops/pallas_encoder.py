@@ -52,16 +52,17 @@ def _dot(a, b):
 def _enc_kernel(T, K, x_ref, w0, c0, w1, c1, w2, b2, wg, wl, c2, w3, b3, o_ref):
     C = x_ref.shape[-1]
     E = w2.shape[-1]
+    H = wl.shape[-1]  # second-stack width: 2E exact parity, E serving preset
     dt = x_ref.dtype
     x = x_ref[...].reshape(T * K, C)
     h = jnp.maximum(_dot(x, w0[...]) + c0[...], 0.0).astype(dt)
     h = jnp.maximum(_dot(h, w1[...]) + c1[...], 0.0).astype(dt)
     loc = (_dot(h, w2[...]) + b2[...]).astype(dt)  # (T·K, E)
     g = jnp.max(loc.reshape(T, K, E), axis=1)  # (T, E)
-    xg = _dot(g, wg[...]) + c2[...]  # (T, 2E) f32
-    xl = _dot(loc, wl[...])  # (T·K, 2E) f32
-    h2 = jnp.maximum(xl.reshape(T, K, 2 * E) + xg[:, None, :], 0.0)
-    h2 = h2.reshape(T * K, 2 * E).astype(dt)
+    xg = _dot(g, wg[...]) + c2[...]  # (T, H) f32
+    xl = _dot(loc, wl[...])  # (T·K, H) f32
+    h2 = jnp.maximum(xl.reshape(T, K, H) + xg[:, None, :], 0.0)
+    h2 = h2.reshape(T * K, H).astype(dt)
     out = (_dot(h2, w3[...]) + b3[...]).reshape(T, K, E)
     o_ref[...] = jnp.max(out, axis=1).astype(o_ref.dtype)
 
@@ -112,10 +113,11 @@ def reference_folded_encoder(x, weights):
     h = jnp.maximum(h @ w1 + c1, 0.0)
     loc = h @ w2 + b2
     g = jnp.max(loc.reshape(M, K, E), axis=1)
+    H = wl.shape[-1]
     h2 = jnp.maximum(
-        (loc @ wl).reshape(M, K, 2 * E) + (g @ wg + c2)[:, None, :], 0.0
+        (loc @ wl).reshape(M, K, H) + (g @ wg + c2)[:, None, :], 0.0
     )
-    out = (h2.reshape(M * K, 2 * E) @ w3 + b3).reshape(M, K, E)
+    out = (h2.reshape(M * K, H) @ w3 + b3).reshape(M, K, E)
     return jnp.max(out, axis=1)
 
 

@@ -97,6 +97,7 @@ class APFTrainer(Trainer):
             depth=model_config.get("depth", 12),
             num_heads=model_config.get("num_heads", 12),
             dtype=compute_dtype,
+            encoder_second_width=model_config.get("encoder_second_width"),
         )
 
         train_transforms = [

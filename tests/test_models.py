@@ -232,3 +232,33 @@ def test_vtn_default_bias_reproduces_fixed_ring():
     expected_el = np.tanh(np.deg2rad([0, 30, -30])) * np.pi / 3
     np.testing.assert_allclose(np.asarray(az)[0], expected_az, atol=1e-4)
     np.testing.assert_allclose(np.asarray(el)[0], expected_el, atol=1e-4)
+
+
+class TestServingPreset:
+    def test_slim_encoder_forward_and_shapes(self):
+        from pointvit_tpu.models import apf_serving_preset
+
+        preset = apf_serving_preset(dtype=jnp.float32)
+        assert preset["encoder_second_width"] == 768
+        model = AdaptPointFormer(
+            num_classes=15, embedding_dim=64, npoint=16, nsample=8,
+            in_channels=4, depth=2, num_heads=4, encoder_second_width=64,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4))
+        variables = model.init({"params": jax.random.PRNGKey(1)}, pts)
+        enc = variables["params"]["point_encoder"]
+        assert enc["second_0_local"]["kernel"].shape == (64, 64)
+        assert enc["second_1"]["kernel"].shape == (64, 64)
+        logits = model.apply(variables, pts)
+        assert logits.shape == (2, 15)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_default_is_reference_exact(self):
+        model = AdaptPointFormer(
+            num_classes=15, embedding_dim=64, npoint=16, nsample=8,
+            in_channels=4, depth=2, num_heads=4,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4))
+        variables = model.init({"params": jax.random.PRNGKey(1)}, pts)
+        enc = variables["params"]["point_encoder"]
+        assert enc["second_0_local"]["kernel"].shape == (64, 128)

@@ -96,3 +96,19 @@ def test_shape_gate_falls_back():
     variables = enc.init(jax.random.PRNGKey(1), groups, train=False)
     out = enc.apply(variables, groups, train=False)
     assert out.shape == (1, 7, E)
+
+
+def test_slim_second_stack_matches_xla():
+    """Serving preset (second_width=E): fused kernel == XLA at the slim width."""
+    enc = GroupFeatureEncoder(embed_dim=E, second_width=E)
+    groups = jax.random.normal(jax.random.PRNGKey(13), (B, G, K, C), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(1), groups, train=False)
+    assert variables["params"]["second_0_local"]["kernel"].shape == (E, E)
+    with jax.default_matmul_precision("highest"):
+        want = GroupFeatureEncoder(
+            embed_dim=E, second_width=E, implementation="xla"
+        ).apply(variables, groups, train=False)
+        got = GroupFeatureEncoder(
+            embed_dim=E, second_width=E, implementation="fused"
+        ).apply(variables, groups, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
