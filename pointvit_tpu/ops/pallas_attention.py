@@ -78,7 +78,23 @@ def _mha_qkv_kernel(num_heads: int, head_dim: int, qkv_ref, o_ref):
 # heads' QK^T matmuls back-to-back into an f32 VMEM scratch, doing ONE
 # vectorized softmax, then all PV matmuls back-to-back lets Mosaic pipeline
 # each unit's work: 1.486 → 1.042 ms/block measured (benchmarks/attn_variants.py).
-_TWO_PASS_SCRATCH_BUDGET = 7 * 2**20  # bytes of f32 logits scratch
+#
+# Budget: Mosaic's scoped-VMEM limit is 16 MB and the scratch shares it with
+# the double-buffered qkv/out blocks and softmax temporaries. 4 MB keeps
+# n_items=2 at the APF/renderer shapes (H12·S197² ≈ 1.9 MB/item) while
+# pushing long-sequence shapes (Pix4Point vit_small: H6·S513² ≈ 6.3 MB,
+# which OOM'd scoped VMEM at 16.3 MB total) to the single-pass kernel.
+_TWO_PASS_SCRATCH_BUDGET = 4 * 2**20  # bytes of f32 logits scratch
+
+
+def _two_pass_items(B: int, S: int, num_heads: int) -> int:
+    """0 = use the single-pass kernel; else items per grid step (1 or 2)."""
+    lg_bytes = num_heads * S * S * 4
+    if B % 2 == 0 and 2 * lg_bytes <= _TWO_PASS_SCRATCH_BUDGET:
+        return 2
+    if lg_bytes <= _TWO_PASS_SCRATCH_BUDGET:
+        return 1
+    return 0
 
 
 def _mha_qkv_kernel_two_pass(
@@ -154,9 +170,8 @@ def _mha_qkv_pallas(qkv, num_heads: int, *, interpret: bool = False):
     B, S, three_e = qkv.shape
     E = three_e // 3
     D = E // num_heads
-    lg_bytes = num_heads * S * S * 4
-    n_items = 2 if (B % 2 == 0 and 2 * lg_bytes <= _TWO_PASS_SCRATCH_BUDGET) else 1
-    if n_items * lg_bytes <= _TWO_PASS_SCRATCH_BUDGET:
+    n_items = _two_pass_items(B, S, num_heads)
+    if n_items:
         return pl.pallas_call(
             functools.partial(_mha_qkv_kernel_two_pass, num_heads, D, n_items),
             grid=(B // n_items,),

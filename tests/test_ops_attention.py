@@ -143,3 +143,16 @@ def test_fused_attention_block_grads():
     g_man = vjp(cot)
     for a, b in zip(g_ref, g_man):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_two_pass_dispatch_respects_vmem_budget():
+    """Pix4Point's vit_small shape (S=513, H=6) OOM'd Mosaic's 16 MB scoped
+    VMEM with the two-pass scratch (6.3 MB logits/item + blocks); it must
+    route to the single-pass kernel. APF/renderer shapes keep 2-item
+    two-pass."""
+    from pointvit_tpu.ops.pallas_attention import _two_pass_items
+
+    assert _two_pass_items(256, 196, 12) == 2   # APF
+    assert _two_pass_items(48, 197, 12) == 2    # renderer B*V
+    assert _two_pass_items(64, 513, 6) == 0     # Pix4Point vit_small
+    assert _two_pass_items(3, 196, 12) == 1     # odd batch
