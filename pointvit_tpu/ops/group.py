@@ -35,9 +35,9 @@ def _use_fused_knn(n_points: int) -> bool:
     """Use the fused Pallas kNN+gather kernel on TPU for lane-aligned point
     counts (over the XLA distance+top_k+gather chain; the (B, S, N) distance
     tensor never leaves VMEM). Near-equal distances may resolve to a
-    different (equivalent) neighbour than XLA top_k. N ≤ 1024 because the
+    different (equivalent) neighbour than XLA top_k. N ≤ 2048 because the
     kernel packs the lane index into the distance key's mantissa tail."""
-    if n_points % 128 != 0 or n_points > 1024:
+    if n_points % 128 != 0 or n_points > 2048:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")

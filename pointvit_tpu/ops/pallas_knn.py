@@ -31,8 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn_group_pallas"]
 
 
-_LANE_BITS = 10  # supports N ≤ 1024 packed into the mantissa tail
-_LANE_MASK = (1 << _LANE_BITS) - 1
+_MAX_LANE_BITS = 11  # supports N ≤ 2048 packed into the mantissa tail
+
+
+def _lane_bits(n_points: int) -> int:
+    """Mantissa tail bits stolen for the lane index: max(10, ⌈log₂N⌉).
+    At 11 bits (N=2048) the distance perturbation is ≤2⁻¹² relative —
+    still only near-exact ties can reorder."""
+    bits = 10
+    while (1 << bits) < n_points:
+        bits += 1
+    return bits
 
 
 def _knn_kernel(
@@ -40,6 +49,7 @@ def _knn_kernel(
     ctr_ref, pts_ref, feat_ref, idx_ref, out_ref,
 ):
     S = ctr_ref.shape[1]
+    _LANE_MASK = (1 << _lane_bits(n_points)) - 1
     lane = lax.broadcasted_iota(jnp.int32, (S, n_points), 1)
     idx_lane = lax.broadcasted_iota(jnp.int32, (S, k), 1)
 
@@ -113,9 +123,9 @@ def knn_group_pallas(
          grouped (B, S, k, C) — ``features`` gathered at those indices).
     """
     B, N, _ = points.shape
-    if N > (1 << _LANE_BITS):
+    if N > (1 << _MAX_LANE_BITS):
         raise ValueError(
-            f"packed-key kNN kernel supports N ≤ {1 << _LANE_BITS}, got {N} "
+            f"packed-key kNN kernel supports N ≤ {1 << _MAX_LANE_BITS}, got {N} "
             "(use the XLA knn_indices/knn_gather path)"
         )
     S = centers.shape[1]
@@ -136,18 +146,26 @@ def knn_group_pallas(
     if items_per_step is None:
         items_per_step = 1
     n = items_per_step if B % items_per_step == 0 else 1
+
+    # Tile the centre axis so the (S_t, N) key/distance working set stays
+    # ≲1 MB f32 — at Pix4Point's (S=512, N=2048) the untiled kernel needs
+    # 33.8 MB of scoped VMEM vs Mosaic's 16 MB limit. The points/features
+    # blocks are constant across S tiles, so Mosaic keeps them resident.
+    s_tile = S
+    while s_tile > 128 and s_tile % 2 == 0 and s_tile * N > (1 << 18):
+        s_tile //= 2
     kernel = functools.partial(_knn_kernel, k, N, C, n)
     idx, grouped = pl.pallas_call(
         kernel,
-        grid=(B // n,),
+        grid=(B // n, S // s_tile),
         in_specs=[
-            pl.BlockSpec((n, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, N, 2 * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, s_tile, 3), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3, N), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, N, 2 * C), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n, S, k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, S, k * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, s_tile, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, s_tile, k * C), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),

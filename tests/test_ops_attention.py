@@ -156,3 +156,26 @@ def test_two_pass_dispatch_respects_vmem_budget():
     assert _two_pass_items(48, 197, 12) == 2    # renderer B*V
     assert _two_pass_items(64, 513, 6) == 0     # Pix4Point vit_small
     assert _two_pass_items(3, 196, 12) == 1     # odd batch
+
+
+def test_knn_group_pallas_n2048_lane_bits():
+    """N=2048 engages the 11-bit lane packing (Pix4Point's native shape);
+    indices must match XLA top_k away from near-ties."""
+    from pointvit_tpu.ops.knn import knn_gather, knn_indices
+    from pointvit_tpu.ops.pallas_knn import _lane_bits, knn_group_pallas
+
+    assert _lane_bits(1024) == 10 and _lane_bits(1025) == 11 and _lane_bits(2048) == 11
+
+    B, N, S, K = 1, 2048, 32, 16
+    pts = _rand((B, N, 3), 11)
+    ctr = pts[:, :S]
+    idx_x = knn_indices(ctr, pts, K)
+    idx_p, g_p = knn_group_pallas(pts, ctr, pts, K, interpret=True)
+    match = (np.sort(np.asarray(idx_p), -1) == np.sort(np.asarray(idx_x), -1)).mean()
+    assert match > 0.995, match
+    g_x = knn_gather(pts, idx_x)
+    same = np.sort(np.asarray(idx_p), -1) == np.sort(np.asarray(idx_x), -1)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g_p), 2)[same], np.sort(np.asarray(g_x), 2)[same],
+        rtol=2e-5, atol=2e-5,
+    )
