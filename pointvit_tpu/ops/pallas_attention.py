@@ -97,6 +97,49 @@ def _two_pass_items(B: int, S: int, num_heads: int) -> int:
     return 0
 
 
+def _head_chunk(S: int, num_heads: int) -> int:
+    """Largest head-chunk whose f32 logits scratch fits the budget (for
+    long-S shapes where the full-head two-pass doesn't). 0 = none fits."""
+    per_head = S * S * 4
+    ch = min(num_heads, _TWO_PASS_SCRATCH_BUDGET // per_head)
+    while ch > 1 and num_heads % ch:
+        ch -= 1
+    return ch
+
+
+def _mha_qkv_kernel_chunked(
+    num_heads: int, head_dim: int, chunk: int, qkv_ref, o_ref, lg_ref
+):
+    """Two-pass schedule over head chunks: all of a chunk's QK^T matmuls
+    back-to-back into scratch → one vectorized softmax → the chunk's PV
+    matmuls. Keeps the MXU/VPU pipelining win of the full two-pass kernel
+    at sequence lengths whose full-head scratch exceeds scoped VMEM
+    (Pix4Point vit_small: S=513, H=6 → 6.3 MB; chunks of 3 fit 3.2 MB)."""
+    scale = head_dim**-0.5
+    E = num_heads * head_dim
+    for c in range(0, num_heads, chunk):
+        for j in range(chunk):
+            h = c + j
+            q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+            k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
+            lg_ref[j] = (
+                lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+        lg = lg_ref[...]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp(lg - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        for j in range(chunk):
+            h = c + j
+            v = qkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
+            o_ref[0, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+                p[j], v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
 def _mha_qkv_kernel_two_pass(
     num_heads: int, head_dim: int, n_items: int, qkv_ref, o_ref, lg_ref
 ):
@@ -171,6 +214,24 @@ def _mha_qkv_pallas(qkv, num_heads: int, *, interpret: bool = False):
     E = three_e // 3
     D = E // num_heads
     n_items = _two_pass_items(B, S, num_heads)
+    if not n_items:
+        ch = _head_chunk(S, num_heads)
+        if ch > 1:
+            return pl.pallas_call(
+                functools.partial(_mha_qkv_kernel_chunked, num_heads, D, ch),
+                grid=(B,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, S, 3 * E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, S, E), qkv.dtype),
+                scratch_shapes=[pltpu.VMEM((ch, S, S), jnp.float32)],
+                interpret=interpret,
+            )(qkv)
     if n_items:
         return pl.pallas_call(
             functools.partial(_mha_qkv_kernel_two_pass, num_heads, D, n_items),

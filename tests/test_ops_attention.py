@@ -179,3 +179,22 @@ def test_knn_group_pallas_n2048_lane_bits():
         np.sort(np.asarray(g_p), 2)[same], np.sort(np.asarray(g_x), 2)[same],
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_chunked_two_pass_matches_reference_long_seq():
+    """S=513/H=6 (Pix4Point vit_small) routes to the head-chunked two-pass
+    kernel; outputs must match the reference einsum formulation."""
+    from pointvit_tpu.ops.pallas_attention import (
+        _head_chunk,
+        _mha_qkv_pallas,
+        _reference_mha_qkv,
+        _two_pass_items,
+    )
+
+    assert _two_pass_items(2, 513, 6) == 0
+    assert _head_chunk(513, 6) == 3
+    qkv = _rand((2, 513, 3 * 384), 21)
+    with jax.default_matmul_precision("highest"):
+        got = _mha_qkv_pallas(qkv, 6, interpret=True)
+        want = _reference_mha_qkv(qkv, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
