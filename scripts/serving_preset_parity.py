@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _train_once(train_pts, train_y, test_pts, test_y, *, seed, epochs,
-                second_width, out_dir, classes, full=False):
+                second_width, out_dir, classes, full=False, nsample=None):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,8 @@ def _train_once(train_pts, train_y, test_pts, test_y, *, seed, epochs,
         dtype = jnp.float32
     model = AdaptPointFormer(
         num_classes=classes, in_channels=3, embedding_dim=E, npoint=G,
-        nsample=K, depth=DEPTH, num_heads=HEADS, adapter_bottleneck=BOTTLENECK,
+        nsample=nsample or K, depth=DEPTH, num_heads=HEADS,
+        adapter_bottleneck=BOTTLENECK,
         dtype=dtype, encoder_second_width=second_width,
     )
     steps_per_epoch = len(train_y) // BS
@@ -93,6 +94,8 @@ def main() -> None:
     ap.add_argument("--out", default="results/serving_preset_parity")
     ap.add_argument("--full", action="store_true",
                     help="full-size APF (E=768, frozen-trunk regime) on TPU")
+    ap.add_argument("--v2", action="store_true",
+                    help="slim arm additionally uses nsample=16 (preset v2)")
     args = ap.parse_args()
 
     from pointvit_tpu.data.synthetic import make_clouds
@@ -135,6 +138,7 @@ def main() -> None:
                 train_pts, train_y, test_pts, test_y, seed=seed,
                 epochs=args.epochs, second_width=width, out_dir=out_dir,
                 classes=args.classes, full=args.full,
+                nsample=16 if (args.v2 and label == "slim") else None,
             )
             row[label] = round(best, 4)
             print(f"seed {seed} {label}: best test acc {best:.4f}", flush=True)
