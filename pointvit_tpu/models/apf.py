@@ -54,6 +54,9 @@ class AdaptPointFormer(nn.Module):
     # apf.py:160-176). The serving preset (``apf_serving_preset``) sets
     # embedding_dim — see DESIGN.md "Serving preset".
     encoder_second_width: int | None = None
+    # Rematerialize the encoder in the backward pass — exact-config training
+    # at batch 256 overflows v5e HBM (~280 MB) without it.
+    remat_encoder: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
@@ -79,6 +82,7 @@ class AdaptPointFormer(nn.Module):
             dtype=self.dtype,
             quantized=self.quantized,
             second_width=self.encoder_second_width,
+            remat=self.remat_encoder,
             name="point_encoder",
         )(neighborhood.astype(self.dtype), train=train)
 

@@ -46,6 +46,9 @@ class GroupFeatureEncoder(nn.Module):
     # dominant two matmuls (accuracy-neutrality evidence:
     # results/serving_preset_parity/, DESIGN.md "Serving preset").
     second_width: int | None = None
+    # jax.checkpoint the training body (recompute-in-backward); enables
+    # exact-config training at batch sizes whose activations overflow HBM.
+    remat: bool = False
 
     def _fused_ok(self, B: int, G: int, *, train: bool) -> bool:
         if self.implementation == "xla" or train or self.quantized:
@@ -63,8 +66,6 @@ class GroupFeatureEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, groups: jax.Array, *, train: bool = False) -> jax.Array:
-        from pointvit_tpu.nn.quant import dense
-
         E = self.embed_dim
         B, G, K, C = groups.shape
         if self._fused_ok(B, G, train=train):
@@ -82,6 +83,14 @@ class GroupFeatureEncoder(nn.Module):
             interpret = jax.default_backend() not in ("tpu", "axon")
             x = groups.astype(self.dtype).reshape(B * G, K, C)
             return fused_group_encoder(x, weights, interpret).reshape(B, G, E)
+        body = self._body_remat if self.remat else self._body
+        return body(groups, train)
+
+    def _body(self, groups: jax.Array, train: bool) -> jax.Array:
+        from pointvit_tpu.nn.quant import dense
+
+        E = self.embed_dim
+        B, G, K, C = groups.shape
         # Flatten groups to 3D (B·G, K, C) — matches the reference's reshape
         # (apf.py:157) and sidesteps an XLA TPU fusion crash in the backward
         # select-and-scatter of 4D bf16 max-pools.
@@ -120,6 +129,13 @@ class GroupFeatureEncoder(nn.Module):
         x = nn.relu(x)
         x = dense(self.quantized, E, dtype=self.dtype, name="second_1")(x)
         return jnp.max(x, axis=-2).reshape(B, G, E)
+
+    # Rematerialized twin of _body for memory-bound training: the (B·G, K, H)
+    # second-stack activations (~4.9 GB bf16 each at batch 256 full size) are
+    # recomputed in the backward instead of held — exact APF training at
+    # batch 256 otherwise exceeds v5e HBM by ~280 MB. Gradients identical
+    # (test_models.py::TestEncoderRemat).
+    _body_remat = nn.remat(_body, static_argnums=(2,))
 
 
 class P3Embed(nn.Module):

@@ -98,6 +98,7 @@ class APFTrainer(Trainer):
             num_heads=model_config.get("num_heads", 12),
             dtype=compute_dtype,
             encoder_second_width=model_config.get("encoder_second_width"),
+            remat_encoder=model_config.get("remat_encoder", False),
         )
 
         train_transforms = [

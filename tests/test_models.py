@@ -262,3 +262,42 @@ class TestServingPreset:
         variables = model.init({"params": jax.random.PRNGKey(1)}, pts)
         enc = variables["params"]["point_encoder"]
         assert enc["second_0_local"]["kernel"].shape == (64, 128)
+
+
+class TestEncoderRemat:
+    def test_remat_grads_match_plain(self):
+        from pointvit_tpu.nn.pointnet import GroupFeatureEncoder
+
+        g = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 6))
+        plain = GroupFeatureEncoder(embed_dim=32)
+        remat = GroupFeatureEncoder(embed_dim=32, remat=True)
+        v = plain.init(jax.random.PRNGKey(1), g, train=True)
+
+        def loss(mod, p):
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                g, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+
+        with jax.default_matmul_precision("highest"):
+            out_p = plain.apply(v, g, train=False)
+            out_r = remat.apply(v, g, train=False)
+            g_p = jax.grad(lambda p: loss(plain, p))(v["params"])
+            g_r = jax.grad(lambda p: loss(remat, p))(v["params"])
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p), rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_model_level_flag(self):
+        model = AdaptPointFormer(
+            num_classes=15, embedding_dim=64, npoint=16, nsample=8,
+            in_channels=4, depth=2, num_heads=4, remat_encoder=True,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 4))
+        variables = model.init({"params": jax.random.PRNGKey(1)}, pts)
+        logits, _ = model.apply(
+            variables, pts, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2), "fps": jax.random.PRNGKey(3)},
+        )
+        assert logits.shape == (2, 15)
