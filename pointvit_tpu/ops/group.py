@@ -86,6 +86,14 @@ def apf_group(
     fps_idx = farthest_point_sample(xyz, num_group, key=key)  # (B, G)
     center = fps_gather(xyz, fps_idx)  # (B, G, 3)
 
+    # Serialize along the Z-order curve of the centers (apf.py:97-110) —
+    # applied to the centers BEFORE grouping: each group's kNN is
+    # independent of the others, so sorting the (B, G, 3) centers first
+    # yields bit-identical output to the reference's post-hoc sort of the
+    # (B, G, K, 2C) neighborhood tensor while skipping that ~50 MB gather.
+    order = morton_argsort(center)  # (B, G)
+    center = jnp.take_along_axis(center, order[:, :, None], axis=1)
+
     neighborhood = _grouped_neighbourhood(xyz, center, x, group_size)  # (B,G,K,C)
     # The centre is its own nearest neighbour (see _grouped_neighbourhood),
     # so its feature row doubles as the reference's ``index_points(x, fps_idx)``.
@@ -104,12 +112,6 @@ def apf_group(
         axis=-1,
     )
 
-    # Serialize groups along the Z-order curve of the centers (apf.py:97-110).
-    order = morton_argsort(center)  # (B, G)
-    neighborhood = jnp.take_along_axis(
-        neighborhood, order[:, :, None, None], axis=1
-    )
-    center = jnp.take_along_axis(center, order[:, :, None], axis=1)
     return neighborhood, center
 
 
