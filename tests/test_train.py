@@ -375,3 +375,19 @@ class TestPrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+
+def test_apf_trainer_serving_preset_and_remat_passthrough(sonn_root, tmp_path):
+    """model_config['encoder_second_width'] / ['remat_encoder'] must reach
+    the model through the trainer wrapper."""
+    from pointvit_tpu.train import APFTrainer
+
+    mc, dc, tc = _tiny_apf_configs(sonn_root)
+    mc = {**mc, "encoder_second_width": 32, "remat_encoder": True}
+    tc = {**tc, "epochs": 1, "save_interval": 0}
+    trainer = APFTrainer(mc, dc, tc, output_dir=str(tmp_path / "sp"))
+    enc = trainer.state.params["point_encoder"]
+    assert enc["second_0_local"]["kernel"].shape == (32, 32)
+    assert trainer.model.remat_encoder is True
+    best = trainer.train()
+    assert 0.0 <= best <= 1.0
