@@ -172,6 +172,33 @@ class SerialAdapterBlock(nn.Module):
         return x + h
 
 
+class _PatchifyDense(nn.Module):
+    """Stride-P patch embedding as reshape + matmul, with nn.Conv's param
+    layout (kernel (P, P, C_in, E), bias (E,)) for checkpoint compatibility.
+    Output (B, N_patches, E), rows in row-major patch order — identical to
+    ``nn.Conv(..., strides=(P, P))`` followed by the (B, -1, E) reshape."""
+
+    embed_dim: int
+    patch_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        B, H, W, C = images.shape
+        P = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (P, P, C, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        x = images.reshape(B, H // P, P, W // P, P, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // P) * (W // P), P * P * C)
+        k = kernel.reshape(P * P * C, self.embed_dim)
+        x = x.astype(self.dtype) @ k.astype(self.dtype)
+        return x + bias.astype(self.dtype)
+
+
 class ImageViT(nn.Module):
     """Torchvision-layout image ViT returning the cls-token feature.
 
@@ -194,14 +221,16 @@ class ImageViT(nn.Module):
     @nn.compact
     def __call__(self, images: jax.Array, *, deterministic: bool = True) -> jax.Array:
         B, H, W, _ = images.shape
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            name="conv_proj",
+        # Patchify as reshape + matmul rather than nn.Conv: a stride-16 conv
+        # is mathematically a Dense over flattened patches, but this
+        # backend's conv backward-to-input is pathological (79 ms vs 3.1 ms
+        # at (48, 224², 3) — and the renderer trains THROUGH the images, so
+        # that grad is on the training path). Params keep nn.Conv's exact
+        # layout ((kh, kw, cin, E) kernel under 'conv_proj') so torchvision/
+        # reference checkpoint importers are unaffected.
+        x = _PatchifyDense(
+            self.embed_dim, self.patch_size, dtype=self.dtype, name="conv_proj"
         )(images)
-        x = x.reshape(B, -1, self.embed_dim)  # (B, N_patches, E)
 
         cls = self.param(
             "class_token", nn.initializers.zeros, (1, 1, self.embed_dim)
