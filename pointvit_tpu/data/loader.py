@@ -150,22 +150,29 @@ class Prefetcher:
         stop = threading.Event()
         _END = object()
 
+        def put_or_stop(item) -> bool:
+            """Stop-aware bounded put. Returns False if the consumer is gone
+            (stop set) — unconditional blocking puts here would leak this
+            daemon thread forever when the consumer abandons the generator
+            with the queue full."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in self._iterable:
                     if self._transfer is not None:
                         item = self._transfer(*item)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(item):
                         return
-                q.put(_END)
+                put_or_stop(_END)
             except BaseException as e:  # propagate into the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -41,8 +41,10 @@ def _build_model(family: str, model_config: dict, dtype):
             depth=model_config.get("depth", 12),
             num_heads=model_config.get("num_heads", 12),
             dtype=dtype,
-            # serving preset (models.apf_serving_preset): width-only FLOP cut,
-            # +20% throughput at measured accuracy parity (DESIGN.md)
+            # serving preset (models.apf_serving_preset): width-only FLOP
+            # cut, +20% throughput; accuracy parity measured on synthetic
+            # corpora only so far (results/serving_preset_parity_full/,
+            # DESIGN.md) — real-data validation pending (RUNBOOK_real_data)
             encoder_second_width=model_config.get("encoder_second_width"),
             quantized=model_config.get("quantized", False),
         )

@@ -114,7 +114,8 @@ def apf_serving_preset(**overrides) -> dict:
     runs at width E (768) instead of 2E (1536) — same structure (global+local
     fusion, depth, ReLU), half the hidden width of the two matmuls that
     dominate the model's FLOPs (~40% of total). Rationale + accuracy-parity
-    evidence: DESIGN.md "Serving preset"; results/serving_preset_parity/.
+    evidence (synthetic-only pending real-data runs): DESIGN.md "Serving
+    preset"; results/serving_preset_parity_full/.
     The north-star target (BASELINE.md) is specified "at overall-accuracy
     parity", not at architecture identity; ``encoder_second_width=None``
     restores the exact reference encoder.

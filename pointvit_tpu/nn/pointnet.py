@@ -43,8 +43,8 @@ class GroupFeatureEncoder(nn.Module):
     # exact-parity width (apf.py:160-176). The serving preset sets E: same
     # structure (global+local fusion, depth, nonlinearity), half the hidden
     # width — the encoder is ~40% of the model's FLOPs and this halves its
-    # dominant two matmuls (accuracy-neutrality evidence:
-    # results/serving_preset_parity/, DESIGN.md "Serving preset").
+    # dominant two matmuls (accuracy-neutrality evidence, synthetic-only:
+    # results/serving_preset_parity_full/, DESIGN.md "Serving preset").
     second_width: int | None = None
     # jax.checkpoint the training body (recompute-in-backward); enables
     # exact-config training at batch sizes whose activations overflow HBM.

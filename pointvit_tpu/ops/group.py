@@ -36,7 +36,15 @@ def _use_fused_knn(n_points: int) -> bool:
     counts (over the XLA distance+top_k+gather chain; the (B, S, N) distance
     tensor never leaves VMEM). Near-equal distances may resolve to a
     different (equivalent) neighbour than XLA top_k. N ≤ 2048 because the
-    kernel packs the lane index into the distance key's mantissa tail."""
+    kernel packs the lane index into the distance key's mantissa tail.
+
+    Precision note: the fused kernel's in-kernel one-hot gather carries the
+    feature payload as split bf16 (hi + lo ≈ 16 mantissa bits), so gathered
+    *features* differ from exact f32 by up to ~2⁻¹⁶ relative — distances and
+    neighbour selection stay exact f32. Every in-repo consumer (the APF
+    encoder, P3Embed) computes in bf16 (8 mantissa bits), so the error is
+    invisible downstream; an f32-exact consumer should pass
+    ``implementation='xla'`` to the samplers instead."""
     if n_points % 128 != 0 or n_points > 2048:
         return False
     try:

@@ -136,12 +136,10 @@ def batch_shard_map(f, mesh: Mesh, *, axis_names=("data",), n_outputs: int = 1):
     custom call — is impossible). All inputs and outputs are sharded on the
     leading axis; anything needing replication should be closed over.
     """
-    from jax.experimental.shard_map import shard_map
-
     spec = P(axis_names if len(axis_names) > 1 else axis_names[0])
     out_specs = spec if n_outputs == 1 else tuple(spec for _ in range(n_outputs))
-    return shard_map(
-        f, mesh=mesh, in_specs=spec, out_specs=out_specs, check_rep=False
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=spec, out_specs=out_specs, check_vma=False
     )
 
 

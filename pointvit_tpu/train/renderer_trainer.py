@@ -74,6 +74,20 @@ class RendererTrainer(Trainer):
 
         epochs = train_config["epochs"]
         batch_size = train_config["batch_size"]
+        if batch_size < 64 and device == "tpu":
+            # Measured (DESIGN.md renderer anatomy): the backward pass is
+            # per-kernel-overhead-bound at small batches on TPU — bs64 is
+            # 3.35× the examples/s of the reference's bs16 config (fwd+bwd
+            # 998 ms vs 834 ms for 4× the examples). The reference default
+            # (train_renderer.py:3-35) is a GPU-era choice.
+            import warnings
+
+            warnings.warn(
+                f"batch_size={batch_size} is latency-bound on TPU; "
+                "batch_size >= 64 is ~3.35x examples/s at bs64 vs bs16 "
+                "(DESIGN.md renderer training anatomy)",
+                stacklevel=2,
+            )
         steps_per_epoch = max(len(train_dataset) // batch_size, 1)
         if train_config.get("use_lr_scheduler", False):
             schedule = cosine_annealing_schedule(

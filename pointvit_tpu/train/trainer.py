@@ -21,6 +21,7 @@ the reference's config-dict constructor APIs.
 from __future__ import annotations
 
 import csv
+import json
 import os
 import time
 from typing import Any, Callable
@@ -530,6 +531,21 @@ class Trainer:
         # truncate) the metrics CSV.
         self.start_epoch = int(restored["epoch"]) + 1
         self.best_acc = float(restored.get("accuracy") or 0.0)
+        # Resuming from a periodic (non-best) model_epoch_N checkpoint must
+        # not lower the best bar below the historical best — a later epoch
+        # worse than the true best would then overwrite best_model.msgpack.
+        # The best checkpoint's sidecar JSON carries its accuracy.
+        best_meta = os.path.join(
+            self.output_dir, f"{self.best_filename}.msgpack.json"
+        )
+        if os.path.exists(best_meta):
+            try:
+                with open(best_meta) as f:
+                    self.best_acc = max(
+                        self.best_acc, float(json.load(f).get("accuracy") or 0.0)
+                    )
+            except (ValueError, OSError):
+                pass
         print(
             f"Loaded checkpoint from epoch {restored['epoch']} "
             f"with accuracy {restored['accuracy']:.4f}"
