@@ -3,28 +3,63 @@
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on the XLA host platform with 8 virtual devices, per the reference
 rebuild's test strategy (SURVEY.md §4).
+
+On-device tests (``@pytest.mark.tpu``, tests/test_on_tpu.py) are the one
+exception: they pin that the fused-kernel *selection* logic resolves to the
+fused paths on the real chip and that fused == XLA there — a regression that
+silently deselects a fused kernel would otherwise pass CI and only show up
+as a perf drop. Run them via the repo's /verify recipe:
+
+    POINTVIT_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+(default runs force CPU and deselect the ``tpu`` marker).
 """
 
 import os
 
-# Hard override: the ambient environment pre-sets JAX_PLATFORMS to the
-# remote-TPU platform AND imports jax from sitecustomize at interpreter
-# startup, so the env var alone is read too early to override — the config
-# update below is what actually forces CPU (backends are not yet
-# initialized when conftest runs).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_MODE = os.environ.get("POINTVIT_TPU_TESTS", "") == "1"
+
+if not TPU_MODE:
+    # Hard override: the ambient environment pre-sets JAX_PLATFORMS to the
+    # remote-TPU platform AND imports jax from sitecustomize at interpreter
+    # startup, so the env var alone is read too early to override — the
+    # config update below is what actually forces CPU (backends are not yet
+    # initialized when conftest runs).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU chip (POINTVIT_TPU_TESTS=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_MODE:
+        # On-device session: run ONLY the tpu-marked tests (the CPU suite's
+        # 8-virtual-device assumptions don't hold on one real chip).
+        skip = pytest.mark.skip(reason="CPU-suite test; run without POINTVIT_TPU_TESTS")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(reason="needs real TPU; POINTVIT_TPU_TESTS=1")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture

@@ -252,3 +252,51 @@ def test_newsplit_filename_path(tmp_path):
     with pytest.raises(FileNotFoundError):
         ScanObjectNN(root, split="test",
                      augmentation="augmentedrot_scale75", use_newsplit=False)
+
+
+class TestShapeClouds:
+    """make_shape_clouds — the parity instrument's corpus
+    (scripts/parity_instrument.py): rotation-invariant class signal."""
+
+    def test_shapes_determinism_labels(self):
+        from pointvit_tpu.data.synthetic import make_shape_clouds
+
+        a, ya = make_shape_clouds(24, 128, 15, seed=7)
+        b, yb = make_shape_clouds(24, 128, 15, seed=7)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(ya, yb)
+        assert a.shape == (24, 128, 3) and a.dtype == np.float32
+        assert ya.min() >= 0 and ya.max() < 15
+
+    def test_all_classes_generate(self):
+        from pointvit_tpu.data.synthetic import _shape_points
+
+        rng = np.random.default_rng(0)
+        for c in range(15):
+            pts = _shape_points(c, 64, rng)
+            assert pts.shape == (64, 3)
+            assert np.isfinite(pts).all()
+            assert np.abs(pts).max() < 1.6
+
+    def test_rotation_invariant_separability(self):
+        """A trivial rotation-invariant probe (radial histogram) must beat
+        chance by a wide margin — the property the old make_clouds corpus
+        lacks under rotation, which capped full-size instrument accuracy
+        at ~29 % (round-2 verdict)."""
+        from pointvit_tpu.data.synthetic import make_shape_clouds
+
+        tr, ytr = make_shape_clouds(300, 256, 15, seed=0)
+        te, yte = make_shape_clouds(150, 256, 15, seed=1)
+
+        def feats(x):
+            r = np.linalg.norm(x, axis=2)
+            return np.stack([
+                np.histogram(row, bins=12, range=(0, 1.4), density=True)[0]
+                for row in r
+            ])
+
+        ftr, fte = feats(tr), feats(te)
+        y = np.eye(15)[ytr]
+        w = np.linalg.solve(ftr.T @ ftr + 1e-1 * np.eye(12), ftr.T @ y)
+        acc = ((fte @ w).argmax(1) == yte).mean()
+        assert acc > 0.5, acc  # chance is 1/15

@@ -1,0 +1,127 @@
+"""On-device (real TPU) tests — run via the /verify recipe:
+
+    POINTVIT_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Round-2 verdict: the CPU suite forces 8 virtual CPU devices, so every
+``jax.default_backend() in ("tpu", "axon")`` selection branch resolves False
+in CI and the fused Pallas kernels are only ever validated interpret-mode.
+A regression that silently deselects a fused kernel on the real chip (or
+selects one at an unsupported shape) would pass CI and only surface as a
+throughput drop. These tests pin, on the real chip:
+
+1. ``implementation=None`` resolves to the fused paths at the bench shapes
+   (fps, kNN grouping, group encoder, APF block, attention).
+2. fused == XLA outputs on-device at one APF and one Pix4Point shape.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+BENCH_B, BENCH_N, BENCH_G, BENCH_K = 256, 1024, 196, 32  # bench.py config
+P3_B, P3_N, P3_S, P3_K = 64, 2048, 512, 16  # pix4point bench config
+
+
+def test_backend_is_real_tpu():
+    assert jax.default_backend() in ("tpu", "axon"), jax.devices()
+
+
+class TestFusedSelection:
+    """The auto (implementation=None) choice must be the fused kernel at
+    every bench shape on the real chip."""
+
+    def test_fps_selects_pallas(self):
+        from pointvit_tpu.ops.fps import _default_implementation
+
+        assert _default_implementation(BENCH_B, BENCH_N) == "pallas"
+        assert _default_implementation(P3_B, P3_N) == "pallas"
+        # and falls back for the one-time B=1 init trace
+        assert _default_implementation(1, BENCH_N) == "xla"
+
+    def test_knn_selects_fused(self):
+        from pointvit_tpu.ops.group import _use_fused_knn
+
+        assert _use_fused_knn(BENCH_N)
+        assert _use_fused_knn(P3_N)
+        assert not _use_fused_knn(BENCH_N + 1)  # non-lane-aligned
+
+    def test_attention_selects_fused(self):
+        from pointvit_tpu.nn.layers import _use_fused_attention
+
+        assert _use_fused_attention()
+
+    def test_encoder_selects_fused_kernel(self):
+        from pointvit_tpu.nn.pointnet import GroupFeatureEncoder
+
+        enc = GroupFeatureEncoder(embed_dim=32, dtype=jnp.bfloat16)
+        groups = jnp.zeros((8, BENCH_G, BENCH_K, 6))
+        variables = enc.init({"params": jax.random.PRNGKey(0)}, groups[:1])
+        bound = enc.bind(variables)
+        assert bound._fused_ok(8, BENCH_G, train=False)
+        assert not bound._fused_ok(8, BENCH_G, train=True)
+
+    def test_apf_block_selects_fused(self):
+        from pointvit_tpu.nn.vit import APFBlock
+
+        blk = APFBlock(num_heads=4, dtype=jnp.bfloat16)
+        x = jnp.zeros((2, 8, 64))
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        assert blk.bind(variables)._fused_ok(True)
+        assert not blk.bind(variables)._fused_ok(False)  # training
+
+
+class TestFusedEqualsXLAOnDevice:
+    """fused vs implementation='xla' at real (scaled-down-batch) shapes,
+    executed on the chip (not interpret-mode)."""
+
+    def test_apf_forward(self):
+        from pointvit_tpu.models import AdaptPointFormer
+
+        kwargs = dict(
+            num_classes=15, in_channels=3, embedding_dim=192,
+            npoint=BENCH_G, nsample=BENCH_K, depth=2, num_heads=3,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(0), (8, BENCH_N, 3), jnp.float32)
+        fused = AdaptPointFormer(**kwargs)
+        variables = fused.init({"params": jax.random.PRNGKey(1)}, pts[:1])
+        ref = AdaptPointFormer(**kwargs, implementation="xla")
+
+        out_fused = jax.jit(lambda v, p: fused.apply(v, p, train=False))(variables, pts)
+        out_xla = jax.jit(lambda v, p: ref.apply(v, p, train=False))(variables, pts)
+        np.testing.assert_allclose(
+            np.asarray(out_fused, np.float32),
+            np.asarray(out_xla, np.float32),
+            atol=0.25, rtol=0.05,  # bf16 accumulation-order differences over 2 blocks
+        )
+
+    def test_p3_group_fused_matches_xla(self):
+        from pointvit_tpu.ops.knn import knn_group
+        from pointvit_tpu.ops.pallas_knn import knn_group_pallas
+
+        pts = jax.random.normal(jax.random.PRNGKey(2), (8, P3_N, 3), jnp.float32)
+        feats = jax.random.normal(jax.random.PRNGKey(3), (8, P3_N, 8), jnp.float32)
+        from pointvit_tpu.ops.fps import farthest_point_sample, fps_gather
+
+        centers = fps_gather(pts, farthest_point_sample(pts, P3_S))
+        _, fused = knn_group_pallas(pts, centers, feats, P3_K)
+        gp, gf = knn_group(pts, centers, feats, P3_K)
+        # split-bf16 payload: ~2^-16 relative on gathered features
+        np.testing.assert_allclose(
+            np.sort(np.asarray(fused), axis=2),
+            np.sort(np.asarray(gf), axis=2),
+            atol=2e-4, rtol=2e-4,
+        )
+
+
+class TestBenchShapeSmoke:
+    def test_tokenizer_at_bench_shape(self):
+        from pointvit_tpu.ops import apf_group
+
+        pts = jax.random.normal(jax.random.PRNGKey(4), (32, BENCH_N, 3), jnp.float32)
+        nb, ctr = apf_group(pts, pts, BENCH_G, BENCH_K)
+        assert nb.shape == (32, BENCH_G, BENCH_K, 6)
+        assert np.isfinite(float(jnp.sum(nb)))
