@@ -1,0 +1,138 @@
+"""Pix4Point step anatomy: slope-fit the 33.4 ms inference step (r3 #6).
+
+Gives Pix4Point the same ledger treatment as APF (DESIGN.md "Where the step
+goes"): per-stage times at the bench shape (B=64, 2048 pts, vit_small
+geometry S=513/E=384/H=6/D=64, bf16), each fitted as the slope of
+time(n ops per dispatch) so the ~24 ms tunnel RTT cancels, plus the
+matmul-roofline ceiling for the block stack.
+
+Roofline arithmetic (per cloud): block param-matmuls
+2·513·(384·1152 + 384·384 + 2·384·1536) ≈ 1.82 GFLOP/block, attention
+4·513²·64·6 ≈ 0.40 GFLOP/block → 12 blocks ≈ 26.7 GFLOP. At the measured
+183-206 TFLOP/s bf16 rate, block matmuls alone are ≥8.5 ms/batch64 — the
+anatomy shows how much of the remaining time is attention kernel vs
+elementwise vs tokenizer.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/pix4point_anatomy.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time(f, args, iters=20, reps=3):
+    out = f(*args)
+    jax.tree.map(lambda t: float(jnp.sum(t)), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        jax.tree.map(lambda t: float(jnp.sum(t)), out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _slope(build, args, chains=(1, 4, 8)):
+    ts = [_time(jax.jit(build(n)), args) for n in chains]
+    A = np.stack([np.asarray(chains, float), np.ones(len(chains))], 1)
+    slope, _ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)[0]
+    return slope
+
+
+def main() -> None:
+    from pointvit_tpu.models import Pix4Point
+    from pointvit_tpu.nn.vit import ViTBlock
+    from pointvit_tpu.ops import p3_group
+    from pointvit_tpu.ops.pallas_attention import fused_mha_qkv
+    from pointvit_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    B, N, S, E, H = 64, 2048, 513, 384, 6
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (B, N, 3), jnp.float32)
+    out = {}
+
+    # 1. full model
+    model = Pix4Point(num_classes=15, embed_dim=E, depth=12, num_heads=H,
+                      k_neighbors=16, dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, pts[:1])
+    fwd = jax.jit(lambda v, p: jnp.sum(model.apply(v, p, train=False)))
+    float(fwd(variables, pts))
+    out["full_model_ms"] = _time(fwd, (variables, pts)) * 1e3
+
+    # 2. tokenizer grouping (FPS+kNN): p3_group at the model's shape
+    tok = jax.jit(lambda p: jnp.sum(p3_group(p, p, S - 1, 16)[1]))
+    float(tok(pts))
+    out["p3_group_ms"] = _time(tok, (pts,)) * 1e3
+
+    # 3. isolated ViT block fwd, slope-fit (n chained blocks per dispatch)
+    blk = ViTBlock(H, dtype=jnp.bfloat16)
+    xb = jax.random.normal(key, (B, S, E), jnp.bfloat16)
+    bparams = blk.init({"params": jax.random.PRNGKey(2)}, xb)
+
+    def block_chain(n):
+        def f(p, x):
+            for _ in range(n):
+                x = blk.apply(p, x)
+            return x
+        return f
+
+    out["vit_block_ms"] = _slope(block_chain, (bparams, xb)) * 1e3
+
+    # 4. attention kernel alone, slope-fit (head-chunked two-pass at S=513)
+    qkv = jax.random.normal(key, (B, S, 3 * E), jnp.bfloat16)
+
+    def attn_chain(n):
+        def f(t):
+            for _ in range(n):
+                o = fused_mha_qkv(t, H)
+                t = jnp.concatenate([o, o, o], axis=-1)
+            return t
+        return f
+
+    out["attention_ms"] = _slope(attn_chain, (qkv,)) * 1e3
+
+    # 5. block param-matmuls alone (qkv/proj/fc1/fc2 as plain XLA bf16)
+    wq = jax.random.normal(key, (E, 3 * E), jnp.bfloat16)
+    wp = jax.random.normal(key, (E, E), jnp.bfloat16)
+    w1 = jax.random.normal(key, (E, 4 * E), jnp.bfloat16)
+    w2 = jax.random.normal(key, (4 * E, E), jnp.bfloat16)
+
+    def mm_chain(n):
+        def f(x):
+            for _ in range(n):
+                a = x @ wq
+                b = a[..., :E] @ wp
+                c = b @ w1
+                x = c @ w2
+            return x
+        return f
+
+    out["block_matmuls_ms"] = _slope(mm_chain, (xb,)) * 1e3
+
+    flops = 2 * B * S * (E * 3 * E + E * E + 2 * E * 4 * E)
+    out["block_matmuls_tflops"] = flops / (out["block_matmuls_ms"] / 1e3) / 1e12
+    aflops = 4 * B * S * S * 64 * H
+    out["attention_tflops"] = aflops / (out["attention_ms"] / 1e3) / 1e12
+
+    out["blocks_x12_ms"] = out["vit_block_ms"] * 12
+    out["unattributed_ms"] = (
+        out["full_model_ms"] - out["p3_group_ms"] - out["blocks_x12_ms"]
+    )
+    print(json.dumps({k: round(v, 3) for k, v in out.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,16 +37,6 @@ def reference_mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("bhst,bthd->bshd", w, v)
 
 
-def _mha_kernel(num_heads: int, head_dim: int, q_ref, k_ref, v_ref, o_ref):
-    scale = head_dim**-0.5
-    for h in range(num_heads):  # static unroll; slices are lane-aligned
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl]  # (S, D)
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        _attn_head(scale, q, k, v, o_ref, sl)
-
-
 def _attn_head(scale, q, k, v, o_ref, sl):
     logits = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -169,28 +159,21 @@ def _mha_qkv_kernel_two_pass(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _mha_pallas(q, k, v, *, interpret: bool = False):
+    """Split-layout entry: pack q/k/v and run the packed-qkv kernel (the
+    serving path, incl. its two-pass schedule) — one implementation to
+    maintain instead of a parallel single-pass kernel for this layout."""
     B, S, H, D = q.shape
-    flat = lambda t: t.reshape(B, S, H * D)
-    kernel = functools.partial(_mha_kernel, H, D)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-        ]
-        * 3,
-        out_specs=pl.BlockSpec(
-            (1, S, H * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, S, H * D), q.dtype),
-        interpret=interpret,
-    )(flat(q), flat(k), flat(v))
-    return out.reshape(B, S, H, D)
+    packed = jnp.concatenate([t.reshape(B, S, H * D) for t in (q, k, v)], axis=-1)
+    return _mha_qkv_pallas(packed, H, interpret=interpret).reshape(B, S, H, D)
 
 
 @jax.custom_vjp
 def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Fused attention; q/k/v: (B, S, H, D) → (B, S, H, D)."""
+    """Fused attention; q/k/v: (B, S, H, D) → (B, S, H, D).
+
+    Public split-head-layout API (for callers holding unpacked q/k/v — e.g.
+    cross-attention experiments); the in-repo models project a packed qkv
+    and call :func:`fused_mha_qkv` directly, skipping the concat."""
     return _mha_pallas(q, k, v)
 
 

@@ -253,6 +253,7 @@ class APFTrainer(Trainer):
             log_lr=True,
             best_filename="model_best",
             save_interval=train_config.get("save_interval", 0),
+            save_best=train_config.get("save_best", True),
             seed=seed,
             train_loader=train_loader,
             test_loader=test_loader,

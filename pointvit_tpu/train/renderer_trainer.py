@@ -138,6 +138,7 @@ class RendererTrainer(Trainer):
             log_lr=False,
             best_filename="best_model",
             save_interval=train_config.get("save_interval", 0),
+            save_best=train_config.get("save_best", True),
             seed=seed,
             train_loader=train_loader,
             test_loader=test_loader,

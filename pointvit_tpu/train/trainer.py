@@ -106,6 +106,9 @@ class Trainer:
             ('model_best' for APF, 'best_model' for Pix4Point — reference
             naming preserved).
         save_interval: interval-checkpoint cadence in epochs.
+        save_best: write the best checkpoint on improvement (default). Off
+            for accuracy instruments: each deferred write pins a full state
+            copy in HBM until the (tunnel-slow) fetch drains.
         seed: PRNG seed for init, dropout, FPS starts, and shuffling.
         mesh: optional pre-built device mesh (default: all devices).
         loader_cls: batcher class (default :class:`pointvit_tpu.data.Loader`).
@@ -131,6 +134,7 @@ class Trainer:
         log_lr: bool = False,
         best_filename: str = "model_best",
         save_interval: int = 0,
+        save_best: bool = True,
         seed: int = 0,
         mesh=None,
         loader_cls=None,
@@ -159,6 +163,14 @@ class Trainer:
         self.log_lr = log_lr
         self.best_filename = best_filename
         self.save_interval = save_interval
+        # save_best=False skips the best-checkpoint write entirely — for
+        # accuracy instruments that only need the curve. The deferred
+        # checkpoint fetch pins a full params/opt_state copy until the
+        # async write drains, and over the remote-TPU tunnel (slow
+        # device_get) a run whose accuracy improves every epoch can queue
+        # enough pinned copies to exhaust HBM (observed: full-size APF
+        # bs256 instrument OOM at epoch 7).
+        self.save_best = save_best
         self.epoch_hooks = epoch_hooks
         self.prefetch = prefetch
         self._base_key = jax.random.PRNGKey(seed)
@@ -571,7 +583,10 @@ class Trainer:
 
             if test_acc > best_acc:
                 best_acc = test_acc
-                self._save_checkpoint(f"{self.best_filename}.msgpack", epoch, test_acc)
+                if self.save_best:
+                    self._save_checkpoint(
+                        f"{self.best_filename}.msgpack", epoch, test_acc
+                    )
             if self.save_interval and (epoch + 1) % self.save_interval == 0:
                 self._save_checkpoint(f"model_epoch_{epoch+1}.msgpack", epoch, test_acc)
 

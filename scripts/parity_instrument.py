@@ -30,6 +30,15 @@ Arms (model-kwarg overrides on the fixed full-size config):
 Usage:
     python scripts/parity_instrument.py --calibrate          # 1 seed, exact only
     python scripts/parity_instrument.py --seeds 5 --arms exact,slim,v2
+
+Calibration ledger (v5e-1, bf16, full-size exact arm, seed 0):
+    noise 0.25, train 2048, 30 ep → best 54.3 %  (too hard)
+    noise 0.10, train 2048, 60 ep → best 66.5 %  (still short)
+    noise 0.05, train 4096, 60 ep → best 81.6 %
+    noise 0.05, train 2048, 60 ep → best 84.2 %  ← protocol (faster runs)
+~5.5 s/epoch at batch 256 with save_best=False (best-ckpt writes OOM HBM
+over the tunnel — each deferred fetch pins a full state copy).
+Run arms with:  --noise 0.05 --epochs 60  (the --train/--test defaults).
 """
 
 from __future__ import annotations
@@ -116,6 +125,7 @@ def _train_once(data, *, seed: int, epochs: int, overrides: dict,
         output_dir=out_dir,
         save_config_snapshot=False,
         save_interval=0,
+        save_best=False,  # curve only; deferred ckpt fetches OOM HBM here
         seed=seed,
     )
     return float(trainer.train())
@@ -124,6 +134,12 @@ def _train_once(data, *, seed: int, epochs: int, overrides: dict,
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (lets long runs be split into several "
+                         "invocations; aggregate with --aggregate-only)")
+    ap.add_argument("--aggregate-only", action="store_true",
+                    help="skip training; rebuild summary.json from the "
+                         "{arm}_seed*/training_metrics.csv files in --out")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--arms", default="exact,slim,v2")
     ap.add_argument("--train", type=int, default=2048)
@@ -152,20 +168,62 @@ def main() -> None:
     arm_names = ["exact"] if args.calibrate else args.arms.split(",")
     if "exact" not in arm_names:
         arm_names = ["exact"] + arm_names
-    seeds = [0] if args.calibrate else list(range(args.seeds))
+    seeds = [0] if args.calibrate else list(
+        range(args.seed_start, args.seed_start + args.seeds))
 
-    results: dict[str, list[float]] = {a: [] for a in arm_names}
-    for seed in seeds:
-        for arm in arm_names:
-            t0 = time.time()
-            out_dir = os.path.join(args.out, f"{arm}_seed{seed}")
-            best = _train_once(
-                data, seed=seed, epochs=args.epochs, overrides=ARMS[arm],
-                out_dir=out_dir, batch_size=args.batch,
+    def _best_from_csv(run_dir: str) -> float | None:
+        path = os.path.join(run_dir, "training_metrics.csv")
+        if not os.path.exists(path):
+            return None
+        rows = open(path).read().strip().split("\n")[1:]
+        if len(rows) < args.epochs:  # partial (crashed) run — redo it
+            return None
+        return max(float(r.split(",")[4]) for r in rows)
+
+    if args.aggregate_only:
+        # Rebuild from whatever seed runs exist on disk (paired: a seed
+        # counts only if every requested arm finished it).
+        seeds = sorted(
+            int(d.rsplit("seed", 1)[1])
+            for d in os.listdir(args.out)
+            if d.startswith("exact_seed")
+            and _best_from_csv(os.path.join(args.out, d)) is not None
+        )
+        seeds = [
+            s for s in seeds
+            if all(
+                _best_from_csv(os.path.join(args.out, f"{a}_seed{s}")) is not None
+                for a in arm_names
             )
-            results[arm].append(best)
-            print(f"[{time.time()-t0:7.1f}s] seed {seed} {arm:9s}: "
-                  f"best test acc {best:.4f}", flush=True)
+        ]
+        results = {
+            a: [_best_from_csv(os.path.join(args.out, f"{a}_seed{s}")) for s in seeds]
+            for a in arm_names
+        }
+    else:
+        results = {a: [] for a in arm_names}
+        for seed in seeds:
+            for arm in arm_names:
+                t0 = time.time()
+                out_dir = os.path.join(args.out, f"{arm}_seed{seed}")
+                done = _best_from_csv(out_dir)
+                if done is not None:  # resumed invocation: skip finished runs
+                    results[arm].append(done)
+                    print(f"[  cached] seed {seed} {arm:9s}: "
+                          f"best test acc {done:.4f}", flush=True)
+                    continue
+                try:
+                    best = _train_once(
+                        data, seed=seed, epochs=args.epochs, overrides=ARMS[arm],
+                        out_dir=out_dir, batch_size=args.batch,
+                    )
+                except Exception as e:  # one bad arm must not kill the batch
+                    print(f"[{time.time()-t0:7.1f}s] seed {seed} {arm:9s}: "
+                          f"FAILED {type(e).__name__}: {e}", flush=True)
+                    continue
+                results[arm].append(best)
+                print(f"[{time.time()-t0:7.1f}s] seed {seed} {arm:9s}: "
+                      f"best test acc {best:.4f}", flush=True)
 
     summary: dict = {
         "protocol": {

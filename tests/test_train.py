@@ -377,6 +377,24 @@ class TestPrefetch:
             next(it)
 
 
+def test_save_best_false_skips_best_checkpoint(sonn_root, tmp_path):
+    """save_best=False trains normally but writes no best checkpoint (used
+    by accuracy instruments: each deferred best-ckpt fetch pins a full
+    state copy in HBM over the slow tunnel — observed OOM, CLAUDE.md)."""
+    from pointvit_tpu.train import APFTrainer
+
+    mc, dc, tc = _tiny_apf_configs(sonn_root)
+    tc = {**tc, "epochs": 1, "save_interval": 0, "save_best": False}
+    out = str(tmp_path / "nb")
+    trainer = APFTrainer(mc, dc, tc, output_dir=out)
+    best = trainer.train()
+    assert 0.0 <= best <= 1.0
+    assert not os.path.exists(os.path.join(out, "model_best.msgpack"))
+    # the metrics CSV is still complete
+    lines = open(os.path.join(out, "training_metrics.csv")).read().strip().split("\n")
+    assert len(lines) == 2
+
+
 def test_apf_trainer_serving_preset_and_remat_passthrough(sonn_root, tmp_path):
     """model_config['encoder_second_width'] / ['remat_encoder'] must reach
     the model through the trainer wrapper."""
