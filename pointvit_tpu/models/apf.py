@@ -57,6 +57,10 @@ class AdaptPointFormer(nn.Module):
     # Rematerialize the encoder in the backward pass — exact-config training
     # at batch 256 overflows v5e HBM (~280 MB) without it.
     remat_encoder: bool = False
+    # None (auto: fused Pallas kernels on TPU where shapes allow) or 'xla'
+    # (force the XLA reference paths end-to-end — parity debugging and the
+    # on-device fused==XLA test suite).
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
@@ -75,7 +79,8 @@ class AdaptPointFormer(nn.Module):
         # Tokenize: grouping + Morton serialization (ops), then the shared-MLP
         # group encoder — one token per group (apf.py:202-217).
         neighborhood, _ = apf_group(
-            points, xyz, self.npoint, self.nsample, key=key
+            points, xyz, self.npoint, self.nsample, key=key,
+            implementation=self.implementation,
         )
         x = GroupFeatureEncoder(
             self.embedding_dim,
@@ -83,6 +88,7 @@ class AdaptPointFormer(nn.Module):
             quantized=self.quantized,
             second_width=self.encoder_second_width,
             remat=self.remat_encoder,
+            implementation=self.implementation,
             name="point_encoder",
         )(neighborhood.astype(self.dtype), train=train)
 
@@ -96,6 +102,7 @@ class AdaptPointFormer(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 quantized=self.quantized,
+                implementation=self.implementation,
                 name=f"blocks_{i}",
             )(x, deterministic=not train)
 

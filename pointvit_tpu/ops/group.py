@@ -53,12 +53,13 @@ def _use_fused_knn(n_points: int) -> bool:
         return False
 
 
-def _grouped_neighbourhood(xyz, centers, feats, k):
+def _grouped_neighbourhood(xyz, centers, feats, k, implementation=None):
     """kNN-gather ``feats`` around ``centers``: fused Pallas kernel on TPU,
-    XLA fallback elsewhere. Returns (B, S, k, C); row 0 of each group is the
-    centre itself (distance 0, lowest index — FPS centres are support
-    points; any exact-duplicate tie shares identical features)."""
-    if _use_fused_knn(xyz.shape[1]):
+    XLA fallback elsewhere (``implementation='xla'`` forces the fallback).
+    Returns (B, S, k, C); row 0 of each group is the centre itself (distance
+    0, lowest index — FPS centres are support points; any exact-duplicate
+    tie shares identical features)."""
+    if implementation != "xla" and _use_fused_knn(xyz.shape[1]):
         from pointvit_tpu.ops.pallas_knn import knn_group_pallas
 
         _, grouped = knn_group_pallas(xyz, centers, feats, k)
@@ -67,7 +68,9 @@ def _grouped_neighbourhood(xyz, centers, feats, k):
     return knn_gather(feats, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("num_group", "group_size"))
+@functools.partial(
+    jax.jit, static_argnames=("num_group", "group_size", "implementation")
+)
 def apf_group(
     x: jax.Array,
     xyz: jax.Array,
@@ -75,6 +78,7 @@ def apf_group(
     group_size: int,
     *,
     key: jax.Array | None = None,
+    implementation: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Group features around FPS centers and serialize by Morton order.
 
@@ -84,6 +88,9 @@ def apf_group(
         num_group: number of groups G (static).
         group_size: points per group K (static).
         key: optional PRNG key for the FPS start point.
+        implementation: None (auto) or 'xla' — force the XLA FPS/kNN paths
+            (parity debugging; the fused kNN payload is split-bf16,
+            ~2⁻¹⁶ relative on gathered features).
 
     Returns:
         neighborhood: (B, G, K, 2C) — centre-relative neighbour features
@@ -91,7 +98,9 @@ def apf_group(
             along the Morton curve of their centers (apf.py:82-105).
         center: (B, G, 3) Morton-ordered group centers.
     """
-    fps_idx = farthest_point_sample(xyz, num_group, key=key)  # (B, G)
+    fps_idx = farthest_point_sample(
+        xyz, num_group, key=key, implementation=implementation
+    )  # (B, G)
     center = fps_gather(xyz, fps_idx)  # (B, G, 3)
 
     # Serialize along the Z-order curve of the centers (apf.py:97-110) —
@@ -102,7 +111,9 @@ def apf_group(
     order = morton_argsort(center)  # (B, G)
     center = jnp.take_along_axis(center, order[:, :, None], axis=1)
 
-    neighborhood = _grouped_neighbourhood(xyz, center, x, group_size)  # (B,G,K,C)
+    neighborhood = _grouped_neighbourhood(
+        xyz, center, x, group_size, implementation
+    )  # (B,G,K,C)
     # The centre is its own nearest neighbour (see _grouped_neighbourhood),
     # so its feature row doubles as the reference's ``index_points(x, fps_idx)``.
     center_feat = neighborhood[:, :, 0, :]  # (B, G, C)
@@ -124,7 +135,7 @@ def apf_group(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "k", "relative_pos")
+    jax.jit, static_argnames=("num_samples", "k", "relative_pos", "implementation")
 )
 def p3_group(
     points: jax.Array,
@@ -134,6 +145,7 @@ def p3_group(
     *,
     key: jax.Array | None = None,
     relative_pos: bool = False,
+    implementation: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One progressive-tokenizer grouping stage (Pix4Point P3Embed).
 
@@ -147,14 +159,17 @@ def p3_group(
             (the Pix4Point paper's semantics); False matches the reference
             implementation, which feeds *absolute* neighbour coordinates to
             the conv stack (pix4point.py:178-182).
+        implementation: None (auto) or 'xla' — force the XLA FPS/kNN paths.
 
     Returns:
         (centers (B, S, 3), grouped_points (B, S, k, 3),
          grouped_features (B, S, k, D)).
     """
-    fps_idx = farthest_point_sample(points, num_samples, key=key)
+    fps_idx = farthest_point_sample(
+        points, num_samples, key=key, implementation=implementation
+    )
     centers = fps_gather(points, fps_idx)  # (B, S, 3)
-    if _use_fused_knn(points.shape[1]):
+    if implementation != "xla" and _use_fused_knn(points.shape[1]):
         # One fused gather over [coords ‖ features]; split after.
         combined = jnp.concatenate([points, features], axis=-1)
         grouped = _grouped_neighbourhood(points, centers, combined, k)

@@ -88,13 +88,19 @@ def _knn_kernel(
             # (selection sums exactly one term per row).
             g2 = jnp.dot(
                 sel.astype(jnp.bfloat16), feats, preferred_element_type=jnp.float32
-            )  # (S, 2·CF)
-            gs.append(g2[:, :cf] + g2[:, cf:])
+            )  # (S, 2·CF) — [hi | lo] planes, summed OUTSIDE the kernel:
+            # an in-kernel g2[:, :cf] + g2[:, cf:] gets algebraically folded
+            # into dot(sel, hi + lo) with the rhs add performed in bf16 —
+            # which rounds hi + lo back to hi and silently drops the lo
+            # plane (measured: plain-bf16 2⁻⁹ gather error on device, r3).
+            # The pallas_call boundary is opaque to XLA, so summing the two
+            # output slices after the call is rewrite-proof.
+            gs.append(g2)
             idx_acc = jnp.where(idx_lane == j, jidx[:, None], idx_acc)
             key = jnp.where(sel, jnp.int32(2**31 - 1), key)
         # one lane-concat + one store per item: keeps the output in the
-        # (S, k·CF) layout (k·CF lanes) — emitting (k, S, CF) and
-        # transposing in XLA costs ~7 ms at the bench shape (CF=3 lanes)
+        # (S, k·2·CF) layout — emitting (k, S, CF) and transposing in XLA
+        # costs ~7 ms at the bench shape (CF=3 lanes)
         out_ref[i] = jnp.concatenate(gs, axis=1)
         idx_ref[i] = idx_acc
 
@@ -132,11 +138,24 @@ def knn_group_pallas(
     C = features.shape[-1]
     planes = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
     # Split-bf16 feature payload for the in-kernel one-hot gather: value =
-    # hi + lo exactly reconstructs ~16 mantissa bits (f32 has 24; the
-    # consumers run the encoder in bf16 = 8). Distances stay exact f32.
+    # hi + lo reconstructs ~16 mantissa bits (f32 has 24; the consumers run
+    # the encoder in bf16 = 8). Distances stay exact f32.
+    #
+    # hi MUST be built by bit-masking, not by converting to bf16 and back:
+    # XLA on TPU elides the f32→bf16→f32 round-trip as a no-op, which turns
+    # ``lo = f32 - hi`` into exactly zero at pack time — the r2 kernel
+    # silently shipped plain-bf16 gathers because of this (caught by the
+    # on-device /verify suite, r3). Masking the low 16 mantissa bits is a
+    # bit-exact truncation XLA cannot fold; the hi→bf16 convert below is
+    # exact (hi has ≤7 explicit mantissa bits), and lo then carries the
+    # next ~8 bits of the residual.
     f32 = features.astype(jnp.float32)
-    hi = f32.astype(jnp.bfloat16)
-    lo = (f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi_f32 = lax.bitcast_convert_type(
+        lax.bitcast_convert_type(f32, jnp.int32) & jnp.int32(-65536),  # 0xFFFF0000
+        jnp.float32,
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (f32 - hi_f32).astype(jnp.bfloat16)
     packed = jnp.concatenate([hi, lo], axis=-1)  # (B, N, 2C) bf16
 
     # Measured (v5e, B256/S196/N1024/k32): interleaving 2 clouds per grid
@@ -165,12 +184,15 @@ def knn_group_pallas(
         ],
         out_specs=(
             pl.BlockSpec((n, s_tile, k), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, s_tile, k * C), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, s_tile, k * 2 * C), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, k), jnp.int32),
-            jax.ShapeDtypeStruct((B, S, k * C), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, k * 2 * C), jnp.float32),
         ),
         interpret=interpret,
     )(centers.astype(jnp.float32), planes, packed)
-    return idx, grouped.reshape(B, S, k, C).astype(features.dtype)
+    # hi + lo reconstruction (≈16 mantissa bits) — deliberately outside the
+    # kernel; see the fold note in _knn_kernel.
+    g = grouped.reshape(B, S, k, 2 * C)
+    return idx, (g[..., :C] + g[..., C:]).astype(features.dtype)
