@@ -114,7 +114,14 @@ class APFBlock(nn.Module):
             )
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(
-            self.num_heads, dtype=self.dtype, quantized=self.quantized, name="attention"
+            self.num_heads,
+            dtype=self.dtype,
+            quantized=self.quantized,
+            # Block-level 'xla' means no Pallas anywhere: route the
+            # contraction to the einsum reference formulation (which IS the
+            # XLA path); None stays auto (fused fwd + flash-style bwd on TPU).
+            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            name="attention",
         )(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
 

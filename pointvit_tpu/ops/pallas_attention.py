@@ -10,10 +10,12 @@ so the only HBM traffic is Q/K/V in and O out. ~3× over
 Numerics match the standard formulation: f32 logit accumulation on the MXU,
 f32 max-subtracted softmax, bf16 output.
 
-Differentiation: :func:`fused_mha` carries a custom VJP whose backward is
-``jax.vjp`` of the reference einsum implementation (recompute-style, like
-flash attention's backward). Forward passes (inference, and the forward leg
-of training) take the kernel path.
+Differentiation: custom VJPs. On TPU at shapes whose scratch fits VMEM the
+backward is the fused flash-style kernel (:func:`_mha_qkv_bwd_pallas` —
+recompute logits + softmax in VMEM, emit packed d_qkv in one pass);
+elsewhere it falls back to ``jax.vjp`` of the reference einsum
+implementation. Forward passes (inference, and the forward leg of training)
+always take the kernel path.
 """
 
 from __future__ import annotations
@@ -182,6 +184,15 @@ def _fused_mha_fwd(q, k, v):
 
 
 def _fused_mha_bwd(residuals, g):
+    q, k, v = residuals
+    B, S, H, D = q.shape
+    if _on_tpu() and _bwd_pallas_ok(S, H, D):
+        E = H * D
+        packed = jnp.concatenate([t.reshape(B, S, E) for t in (q, k, v)], axis=-1)
+        dqkv = _mha_qkv_bwd_pallas(packed, g.reshape(B, S, E), H)
+        return tuple(
+            dqkv[..., i * E : (i + 1) * E].reshape(B, S, H, D) for i in range(3)
+        )
     # Recompute-style backward through the reference formulation.
     _, vjp = jax.vjp(reference_mha, *residuals)
     return vjp(g)
@@ -244,6 +255,110 @@ def _mha_qkv_pallas(qkv, num_heads: int, *, interpret: bool = False):
     )(qkv)
 
 
+# ---------------------------------------------------------------------------
+# Flash-style backward: recompute logits + softmax in VMEM, then produce the
+# packed d_qkv in one kernel. The XLA recompute VJP materializes the
+# (B, H, S, S) probability/cotangent tensors in HBM several times — measured
+# 14.0 of the 24.0 ms APF block backward at (256, 197) (DESIGN.md, r3
+# corrected anatomy). Here every (S, S) tensor lives in two f32 VMEM
+# scratches; HBM traffic is qkv + g in, d_qkv out.
+#
+# Schedule mirrors the forward two-pass win (MXU/VPU pipelining): all-head
+# QK^T → one softmax → all-head dP → one softmax-VJP → all-head dQ/dK/dV.
+# ---------------------------------------------------------------------------
+
+
+def _mha_qkv_bwd_kernel(
+    num_heads: int, head_dim: int, qkv_ref, g_ref, dqkv_ref, p_ref, t_ref
+):
+    """p_ref: probabilities scratch; t_ref: logits → dP → dS scratch
+    (both (H, S, S) f32)."""
+    scale = head_dim**-0.5
+    E = num_heads * head_dim
+    # Pass 1 (MXU): all heads' logits.
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+        k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
+        t_ref[h] = (
+            lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+    # Pass 2 (VPU): one vectorized softmax over all heads.
+    lg = t_ref[...]
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    p_ref[...] = p / jnp.sum(p, axis=-1, keepdims=True)
+    # Pass 3 (MXU): all heads' dP = g · Vᵀ.
+    for h in range(num_heads):
+        g = g_ref[0, :, h * head_dim : (h + 1) * head_dim]
+        v = qkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
+        t_ref[h] = lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    # Pass 4 (VPU): softmax VJP, vectorized: dS = P ∘ (dP − Σ(dP ∘ P)) · scale.
+    p = p_ref[...]
+    dp = t_ref[...]
+    t_ref[...] = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    # Pass 5 (MXU): dQ = dS·K, dK = dSᵀ·Q, dV = Pᵀ·g.
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+        k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
+        g = g_ref[0, :, h * head_dim : (h + 1) * head_dim]
+        ds = t_ref[h].astype(q.dtype)
+        pb = p_ref[h].astype(q.dtype)
+        dqkv_ref[0, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim] = lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim] = (
+            lax.dot_general(
+                pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(dqkv_ref.dtype)
+        )
+
+
+# Two (H, S, S) f32 scratches must fit scoped VMEM alongside the
+# double-buffered qkv/g/dqkv blocks (≈2.3 MB/item bf16 at the APF shape).
+_BWD_SCRATCH_BUDGET = 8 * 2**20
+
+
+def _bwd_pallas_ok(S: int, num_heads: int, head_dim: int) -> bool:
+    return (
+        head_dim % 8 == 0
+        and 2 * num_heads * S * S * 4 <= _BWD_SCRATCH_BUDGET
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _mha_qkv_bwd_pallas(qkv, g, num_heads: int, *, interpret: bool = False):
+    """qkv: (B, S, 3E) packed, g: (B, S, E) output cotangent → d_qkv."""
+    B, S, three_e = qkv.shape
+    E = three_e // 3
+    D = E // num_heads
+    kernel = functools.partial(_mha_qkv_bwd_kernel, num_heads, D)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, 3 * E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, 3 * E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, 3 * E), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((num_heads, S, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, g.astype(qkv.dtype))
+
+
 def _reference_mha_qkv(qkv, num_heads: int):
     B, S, three_e = qkv.shape
     E = three_e // 3
@@ -261,7 +376,19 @@ def _fused_mha_qkv_fwd(qkv, num_heads):
     return _mha_qkv_pallas(qkv, num_heads), qkv
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _fused_mha_qkv_bwd(num_heads, qkv, g):
+    E = qkv.shape[-1] // 3
+    if _on_tpu() and _bwd_pallas_ok(qkv.shape[1], num_heads, E // num_heads):
+        return (_mha_qkv_bwd_pallas(qkv, g, num_heads),)
+    # Recompute VJP through the reference einsums (CPU, and shapes whose
+    # scratch exceeds the VMEM budget — e.g. Pix4Point vit_small S=513).
     _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, num_heads), qkv)
     return vjp(g)
 

@@ -70,6 +70,49 @@ def test_fused_mha_qkv_grads_match_reference():
     )
 
 
+def test_mha_qkv_bwd_kernel_matches_einsum_vjp():
+    """The flash-style Pallas backward (interpret mode) must match jax.vjp
+    of the reference einsum formulation — the fallback it replaces on TPU."""
+    from pointvit_tpu.ops.pallas_attention import _bwd_pallas_ok, _mha_qkv_bwd_pallas
+
+    for B, S, H, D, seed in [(2, 24, 4, 16, 6), (3, 197, 2, 32, 7)]:
+        assert _bwd_pallas_ok(S, H, D)
+        qkv = _rand((B, S, 3 * H * D), seed)
+        g = _rand((B, S, H * D), seed + 10)
+        with jax.default_matmul_precision("highest"):
+            got = _mha_qkv_bwd_pallas(qkv, g, H, interpret=True)
+            _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, H), qkv)
+            (want,) = vjp(g)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_mha_qkv_bwd_kernel_bf16():
+    """bf16 end-to-end (the training dtype): kernel vs einsum VJP at bf16
+    tolerances."""
+    from pointvit_tpu.ops.pallas_attention import _mha_qkv_bwd_pallas
+
+    B, S, H, D = 2, 48, 4, 16
+    qkv = _rand((B, S, 3 * H * D), 8).astype(jnp.bfloat16)
+    g = _rand((B, S, H * D), 9).astype(jnp.bfloat16)
+    got = _mha_qkv_bwd_pallas(qkv, g, H, interpret=True)
+    _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, H), qkv)
+    (want,) = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.06, atol=0.03,
+    )
+
+
+def test_bwd_pallas_gating():
+    from pointvit_tpu.ops.pallas_attention import _bwd_pallas_ok
+
+    assert _bwd_pallas_ok(197, 12, 64)      # APF / renderer
+    assert not _bwd_pallas_ok(513, 6, 64)   # Pix4Point vit_small: 12.6 MB scratch
+    assert not _bwd_pallas_ok(196, 12, 63)  # ragged head_dim
+
+
 def test_softmax_rows_sum_to_one_property():
     # Behavioural check on the kernel: uniform inputs → uniform attention →
     # output equals the mean of v.
