@@ -47,6 +47,8 @@ class PointViT(nn.Module):
     global_features: str = "max,cls"
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the XLA FPS/kNN/attention paths end-to-end.
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, points: jax.Array, features: jax.Array | None = None, *, train: bool = False) -> jax.Array:
@@ -58,6 +60,7 @@ class PointViT(nn.Module):
             in_channels=self.in_channels,
             k=self.k_neighbors,
             dtype=self.dtype,
+            implementation=self.implementation,
             name="patch_embed",
         )(points, features, train=train)
 
@@ -89,6 +92,7 @@ class PointViT(nn.Module):
                 self.num_heads,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                implementation=self.implementation,
                 name=f"blocks_{i}",
             )(x + pos, deterministic=not train)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
@@ -112,6 +116,8 @@ class Pix4Point(nn.Module):
     num_heads: int = 6
     k_neighbors: int = 16
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the XLA paths end-to-end (parity debugging).
+    implementation: str | None = None
 
     @classmethod
     def from_pretrained_name(cls, pretrained_model: str, **kwargs) -> "Pix4Point":
@@ -130,6 +136,7 @@ class Pix4Point(nn.Module):
             num_heads=self.num_heads,
             k_neighbors=self.k_neighbors,
             dtype=self.dtype,
+            implementation=self.implementation,
             name="model",
         )(points, train=train)
         return ClsHead(self.num_classes, dtype=self.dtype, name="cls_head")(

@@ -112,6 +112,8 @@ class PointCloudRendererClassifier(nn.Module):
     view_transform_hidden: int = 256
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the einsum attention path (no Pallas).
+    implementation: str | None = None
 
     def setup(self):
         preset = TORCHVISION_VIT_PRESETS.get(self.vit_name)
@@ -129,6 +131,7 @@ class PointCloudRendererClassifier(nn.Module):
             adapter_bottleneck=self.adapter_dim,
             dropout_rate=0.0,
             dtype=self.dtype,
+            implementation=self.implementation,
         )
         self.view_aggregation = self.param(
             "view_aggregation",

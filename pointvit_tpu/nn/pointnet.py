@@ -159,6 +159,8 @@ class P3Embed(nn.Module):
     layers: int = 4
     embed_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the XLA FPS/kNN paths.
+    implementation: str | None = None
 
     @nn.compact
     def __call__(
@@ -177,7 +179,10 @@ class P3Embed(nn.Module):
             stage_key = None
             if key is not None:
                 key, stage_key = jax.random.split(key)
-            centers, dp, fj = p3_group(p, f, N, self.k, key=stage_key)
+            centers, dp, fj = p3_group(
+                p, f, N, self.k, key=stage_key,
+                implementation=self.implementation,
+            )
             x = jnp.concatenate([dp, fj], axis=-1)  # (B, S, k, 3 + in_ch)
 
             # conv1: Dense(no bias) → Dense(bias) → BN → ReLU  (pix4point.py:137-145)

@@ -43,12 +43,19 @@ class ViTBlock(nn.Module):
     drop_path_rate: float = 0.0
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the einsum attention path (no Pallas).
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = Attention(
+            self.num_heads,
+            dtype=self.dtype,
+            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            name="attn",
+        )(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = Mlp(
@@ -158,12 +165,19 @@ class SerialAdapterBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the einsum attention path (no Pallas).
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        h = Attention(self.num_heads, dtype=self.dtype, name="self_attention")(h)
+        h = Attention(
+            self.num_heads,
+            dtype=self.dtype,
+            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            name="self_attention",
+        )(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         h = SimpleAdapter(self.adapter_bottleneck, dtype=self.dtype, name="adapter1")(h)
         x = x + h
@@ -224,6 +238,8 @@ class ImageViT(nn.Module):
     adapter_bottleneck: int = 64
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # None = auto; 'xla' forces the einsum attention path (no Pallas).
+    implementation: str | None = None
 
     @nn.compact
     def __call__(self, images: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -259,6 +275,7 @@ class ImageViT(nn.Module):
                 adapter_bottleneck=self.adapter_bottleneck,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                implementation=self.implementation,
                 name=f"encoder_layer_{i}",
             )(x, deterministic=deterministic)
 
