@@ -321,16 +321,78 @@ def _mha_qkv_bwd_kernel(
         )
 
 
+def _mha_qkv_bwd_kernel_chunked(
+    num_heads: int, head_dim: int, chunk: int, qkv_ref, g_ref, dqkv_ref, p_ref, t_ref
+):
+    """Head-chunked variant for long-S shapes whose full-head scratches
+    exceed the VMEM budget (Pix4Point vit_small: S=513, H=6 → 12.6 MB;
+    chunks of 3 fit 6.3 MB). Same five-pass schedule per chunk."""
+    scale = head_dim**-0.5
+    E = num_heads * head_dim
+    for c in range(0, num_heads, chunk):
+        for j in range(chunk):
+            h = c + j
+            q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+            k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
+            t_ref[j] = (
+                lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+        lg = t_ref[...]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp(lg - m)
+        p_ref[...] = p / jnp.sum(p, axis=-1, keepdims=True)
+        for j in range(chunk):
+            h = c + j
+            g = g_ref[0, :, h * head_dim : (h + 1) * head_dim]
+            v = qkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim]
+            t_ref[j] = lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        p = p_ref[...]
+        dp = t_ref[...]
+        t_ref[...] = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        for j in range(chunk):
+            h = c + j
+            q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+            k = qkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim]
+            g = g_ref[0, :, h * head_dim : (h + 1) * head_dim]
+            ds = t_ref[j].astype(q.dtype)
+            pb = p_ref[j].astype(q.dtype)
+            dqkv_ref[0, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+                ds, k, preferred_element_type=jnp.float32
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, E + h * head_dim : E + (h + 1) * head_dim] = (
+                lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ).astype(dqkv_ref.dtype)
+            )
+            dqkv_ref[0, :, 2 * E + h * head_dim : 2 * E + (h + 1) * head_dim] = (
+                lax.dot_general(
+                    pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ).astype(dqkv_ref.dtype)
+            )
+
+
 # Two (H, S, S) f32 scratches must fit scoped VMEM alongside the
 # double-buffered qkv/g/dqkv blocks (≈2.3 MB/item bf16 at the APF shape).
 _BWD_SCRATCH_BUDGET = 8 * 2**20
 
 
+def _bwd_chunk(S: int, num_heads: int) -> int:
+    """Heads per chunk whose two (ch, S, S) f32 scratches fit the budget;
+    num_heads (full two-pass) when everything fits, 0 when nothing does."""
+    per_head = 2 * S * S * 4
+    ch = min(num_heads, _BWD_SCRATCH_BUDGET // per_head)
+    while ch > 1 and num_heads % ch:
+        ch -= 1
+    return ch
+
+
 def _bwd_pallas_ok(S: int, num_heads: int, head_dim: int) -> bool:
-    return (
-        head_dim % 8 == 0
-        and 2 * num_heads * S * S * 4 <= _BWD_SCRATCH_BUDGET
-    )
+    return head_dim % 8 == 0 and _bwd_chunk(S, num_heads) >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -339,7 +401,13 @@ def _mha_qkv_bwd_pallas(qkv, g, num_heads: int, *, interpret: bool = False):
     B, S, three_e = qkv.shape
     E = three_e // 3
     D = E // num_heads
-    kernel = functools.partial(_mha_qkv_bwd_kernel, num_heads, D)
+    ch = _bwd_chunk(S, num_heads)
+    if ch >= num_heads:
+        kernel = functools.partial(_mha_qkv_bwd_kernel, num_heads, D)
+        scratch_heads = num_heads
+    else:
+        kernel = functools.partial(_mha_qkv_bwd_kernel_chunked, num_heads, D, ch)
+        scratch_heads = ch
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -352,8 +420,8 @@ def _mha_qkv_bwd_pallas(qkv, g, num_heads: int, *, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, 3 * E), qkv.dtype),
         scratch_shapes=[
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((scratch_heads, S, S), jnp.float32),
+            pltpu.VMEM((scratch_heads, S, S), jnp.float32),
         ],
         interpret=interpret,
     )(qkv, g.astype(qkv.dtype))
@@ -387,8 +455,8 @@ def _fused_mha_qkv_bwd(num_heads, qkv, g):
     E = qkv.shape[-1] // 3
     if _on_tpu() and _bwd_pallas_ok(qkv.shape[1], num_heads, E // num_heads):
         return (_mha_qkv_bwd_pallas(qkv, g, num_heads),)
-    # Recompute VJP through the reference einsums (CPU, and shapes whose
-    # scratch exceeds the VMEM budget — e.g. Pix4Point vit_small S=513).
+    # Recompute VJP through the reference einsums (CPU, ragged head_dim,
+    # and sequences so long that even a single head's scratch overflows).
     _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, num_heads), qkv)
     return vjp(g)
 

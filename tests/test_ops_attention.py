@@ -106,11 +106,32 @@ def test_mha_qkv_bwd_kernel_bf16():
 
 
 def test_bwd_pallas_gating():
-    from pointvit_tpu.ops.pallas_attention import _bwd_pallas_ok
+    from pointvit_tpu.ops.pallas_attention import _bwd_chunk, _bwd_pallas_ok
 
     assert _bwd_pallas_ok(197, 12, 64)      # APF / renderer
-    assert not _bwd_pallas_ok(513, 6, 64)   # Pix4Point vit_small: 12.6 MB scratch
+    assert _bwd_chunk(197, 12) == 12        # full two-pass
+    assert _bwd_pallas_ok(513, 6, 64)       # Pix4Point vit_small
+    assert _bwd_chunk(513, 6) == 3          # head-chunked (12.6 MB full)
     assert not _bwd_pallas_ok(196, 12, 63)  # ragged head_dim
+    assert not _bwd_pallas_ok(4096, 16, 64)  # nothing fits -> einsum VJP
+
+
+def test_mha_qkv_bwd_chunked_matches_einsum_vjp():
+    """Long-S shapes route to the head-chunked backward; must match the
+    einsum VJP (Pix4Point vit_small geometry, scaled down in batch)."""
+    from pointvit_tpu.ops.pallas_attention import _bwd_chunk, _mha_qkv_bwd_pallas
+
+    B, S, H, D = 1, 513, 6, 64
+    assert _bwd_chunk(S, H) == 3
+    qkv = _rand((B, S, 3 * H * D), 12)
+    g = _rand((B, S, H * D), 13)
+    with jax.default_matmul_precision("highest"):
+        got = _mha_qkv_bwd_pallas(qkv, g, H, interpret=True)
+        _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, H), qkv)
+        (want,) = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_softmax_rows_sum_to_one_property():
