@@ -28,6 +28,7 @@ ARMS: dict[str, dict] = {
     "k24": {"nsample": 24},
     "g160": {"npoint": 160},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+    "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
 }
 
 

@@ -26,6 +26,8 @@ Arms (model-kwarg overrides on the fixed full-size config):
     k24        — exact widths, nsample 24             (structural cut candidate)
     g160       — exact widths, npoint 160             (structural cut candidate)
     slim_k24   — slim + nsample 24                    (stacked cut candidate)
+    stack      — slim + nsample 24 + npoint 160       (maximal candidate)
+    neg_k8     — nsample 8: expected regression        (negative control)
 
 Usage:
     python scripts/parity_instrument.py --calibrate          # 1 seed, exact only
@@ -59,6 +61,12 @@ ARMS: dict[str, dict] = {
     "k24": {"nsample": 24},
     "g160": {"npoint": 160},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+    # stacked maximal candidate: every individually-plausible cut at once
+    "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    # negative control: K=8 starves the group encoder of local geometry —
+    # expected to REGRESS. If the instrument accepts this arm too, it has
+    # no discriminative power and cannot certify the serving preset.
+    "neg_k8": {"nsample": 8},
 }
 
 # two-sided 95 % t critical values, df = 1..10
