@@ -1,0 +1,105 @@
+"""Full APF training-step time (fwd+bwd+masked AdamW) per config.
+
+Re-measures the ledger's training numbers (DESIGN.md: exact 573 ms/step,
+serving 442 ms at batch 256) after the flash-style attention backward —
+the einsum recompute VJP was 14.0 of the 24.0 ms per-block backward.
+
+Timing per CLAUDE.md: the step is jit'd with donated state; sync is one
+scalar host read (the returned loss) per timing block.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/train_step_bench.py [arms...]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+ARMS: dict[str, dict] = {
+    "exact": {"remat_encoder": True},  # batch-256 exact OOMs HBM without it
+    "slim": {"encoder_second_width": 768},
+    "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+    "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+}
+
+
+def main() -> None:
+    from pointvit_tpu.models import AdaptPointFormer, apf_trainable_mask
+    from pointvit_tpu.train.trainer import build_optimizer
+    from pointvit_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    arms = sys.argv[1:] or list(ARMS)
+    batch, num_points, classes = 256, 1024, 15
+    points = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, num_points, 3), jnp.float32
+    )
+    labels = jax.random.randint(jax.random.PRNGKey(1), (batch,), 0, classes)
+    out = {}
+    for arm in arms:
+        kwargs = dict(
+            num_classes=classes, in_channels=3, embedding_dim=768, npoint=196,
+            nsample=32, depth=12, num_heads=12, dtype=jnp.bfloat16,
+        )
+        kwargs.update(ARMS[arm])
+        model = AdaptPointFormer(**kwargs)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            points[:1], train=True,
+        )
+        params = variables["params"]
+        mask = apf_trainable_mask(params)
+        optimizer = build_optimizer(
+            optax.constant_schedule(5e-4), weight_decay=0.05, trainable_mask=mask
+        )
+        opt_state = optimizer.init(params)
+
+        def loss_fn(p, pts, y, key):
+            logits = model.apply(
+                {"params": p}, pts, train=True, rngs={"dropout": key}
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), y
+            ).mean()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, s, pts, y, key):
+            loss, grads = jax.value_and_grad(loss_fn)(p, pts, y, key)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return p, s, loss
+
+        key = jax.random.PRNGKey(4)
+        t0 = time.time()
+        params, opt_state, loss = step(params, opt_state, points, labels, key)
+        float(loss)
+        compile_s = time.time() - t0
+        reps, iters = 3, 10
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                params, opt_state, loss = step(params, opt_state, points, labels, key)
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        out[arm] = {
+            "step_ms": round(best * 1e3, 1),
+            "clouds_per_sec": round(batch / best, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"{arm:9s}: {out[arm]['step_ms']:7.1f} ms/step "
+              f"({out[arm]['clouds_per_sec']:.1f} clouds/s train)", flush=True)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

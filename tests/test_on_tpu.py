@@ -122,6 +122,47 @@ class TestFusedEqualsXLAOnDevice:
         )
 
 
+class TestAttentionBackwardOnDevice:
+    def test_fused_bwd_matches_einsum_vjp(self):
+        """The flash-style Pallas backward (real Mosaic compile, not
+        interpret) must match the einsum recompute VJP it replaces, at the
+        APF training shape and the Pix4Point (head-chunked) shape."""
+        from pointvit_tpu.ops.pallas_attention import (
+            _bwd_pallas_ok,
+            _mha_qkv_bwd_pallas,
+            _reference_mha_qkv,
+        )
+
+        for B, S, H, D in [(8, 197, 12, 64), (2, 513, 6, 64)]:
+            assert _bwd_pallas_ok(S, H, D)
+            qkv = jax.random.normal(
+                jax.random.PRNGKey(0), (B, S, 3 * H * D), jnp.bfloat16
+            )
+            g = jax.random.normal(jax.random.PRNGKey(1), (B, S, H * D), jnp.bfloat16)
+            got = _mha_qkv_bwd_pallas(qkv, g, H)
+            _, vjp = jax.vjp(lambda t: _reference_mha_qkv(t, H), qkv)
+            (want,) = vjp(g)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32),
+                np.asarray(want, np.float32),
+                rtol=0.08, atol=0.06,  # bf16 matmul accumulation-order
+            )
+
+    def test_knn_gather_payload_precision_on_device(self):
+        """Split-bf16 payload must beat plain bf16 by ~2^7 — pins the r3
+        lo-plane fix (XLA fold) against regression on the real chip."""
+        from pointvit_tpu.ops.knn import knn_gather
+        from pointvit_tpu.ops.pallas_knn import knn_group_pallas
+
+        B, N, S, K, C = 2, 1024, 128, 16, 8
+        pts = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3), jnp.float32)
+        feats = jax.random.normal(jax.random.PRNGKey(3), (B, N, C), jnp.float32)
+        idx, fused = knn_group_pallas(pts, pts[:, :S], feats, K)
+        exact = knn_gather(feats, idx)
+        err = float(jnp.max(jnp.abs(fused - exact)))
+        assert err < 2e-4, f"payload error {err} — lo plane lost again?"
+
+
 class TestBenchShapeSmoke:
     def test_tokenizer_at_bench_shape(self):
         from pointvit_tpu.ops import apf_group
