@@ -24,7 +24,7 @@ import jax.numpy as jnp
 def main() -> None:
     import os
 
-    from pointvit_tpu.models import AdaptPointFormer, apf_serving_preset
+    from pointvit_tpu.models import AdaptPointFormer
     from pointvit_tpu.ops import apf_group
     from pointvit_tpu.utils.profiling import enable_compilation_cache
 
@@ -33,13 +33,26 @@ def main() -> None:
     batch = 256
     num_points = 1024
 
-    # Serving preset (documented, flag-gated: models.apf_serving_preset) —
-    # the encoder second stack at width E instead of 2E; everything else is
-    # the reference-exact APF ViT-B. POINTVIT_BENCH_EXACT=1 benches the
-    # reference-exact encoder instead (ledger of both in DESIGN.md).
-    exact = os.environ.get("POINTVIT_BENCH_EXACT", "") == "1"
-    preset = dict(dtype=jnp.bfloat16) if exact else apf_serving_preset()
-    model = AdaptPointFormer(
+    # Preset selection. The default is the fastest arm ACCEPTED by the r3
+    # accuracy-parity instrument (≥5 paired seeds, written accept rule —
+    # scripts/parity_instrument.py, results/parity_r3/summary.json); the
+    # reference-exact architecture is always available via
+    # POINTVIT_BENCH_EXACT=1, and any instrument arm via
+    # POINTVIT_BENCH_PRESET=<exact|slim|v2|k24|g160|slim_k24|stack>.
+    PRESETS = {
+        "exact": {},
+        "slim": {"encoder_second_width": 768},
+        "v2": {"encoder_second_width": 768, "nsample": 16},
+        "k24": {"nsample": 24},
+        "g160": {"npoint": 160},
+        "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+        "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    }
+    DEFAULT_PRESET = "slim"
+    name = os.environ.get("POINTVIT_BENCH_PRESET", DEFAULT_PRESET)
+    if os.environ.get("POINTVIT_BENCH_EXACT", "") == "1":
+        name = "exact"
+    kwargs = dict(
         num_classes=40,
         in_channels=3,
         embedding_dim=768,
@@ -47,8 +60,11 @@ def main() -> None:
         nsample=32,
         depth=12,
         num_heads=12,
-        **preset,
+        dtype=jnp.bfloat16,
     )
+    kwargs.update(PRESETS[name])
+    exact = name == "exact"
+    model = AdaptPointFormer(**kwargs)
     key = jax.random.PRNGKey(0)
     points = jax.random.normal(key, (batch, num_points, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(1)}, points[:1])
@@ -71,7 +87,8 @@ def main() -> None:
     clouds_per_sec = batch / best
 
     # Secondary: tokenizer-only µs/cloud (FPS+kNN+Morton grouping).
-    tok = jax.jit(lambda p: jnp.sum(apf_group(p, p, 196, 32)[0]))
+    G, K = kwargs["npoint"], kwargs["nsample"]
+    tok = jax.jit(lambda p: jnp.sum(apf_group(p, p, G, K)[0]))
     float(tok(points))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -89,7 +106,7 @@ def main() -> None:
             {
                 "metric": (
                     "ModelNet40 clouds/sec/chip (1024 pts, APF ViT-B bf16 inference"
-                    + ("" if exact else ", serving preset: slim encoder 2nd stack")
+                    + ("" if exact else f", serving preset '{name}'")
                     + ")"
                 ),
                 "value": round(clouds_per_sec, 1),
