@@ -97,3 +97,29 @@ def test_dryrun_multichip_odd_device_count():
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "2-device data-parallel step OK" in r.stdout
+
+
+def test_bench_presets_match_parity_instrument_arms():
+    """bench.py's preset table must stay in sync with the accuracy
+    instrument's arms — the bench default is only defensible if the exact
+    overrides it benches are the ones the instrument adjudicated."""
+    import importlib.util
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    inst = _load("parity_instrument", os.path.join(_REPO, "scripts", "parity_instrument.py"))
+    # bench.py defines PRESETS inside main(); read it statically instead.
+    src = open(os.path.join(_REPO, "bench.py")).read()
+    ns = {}
+    block = src[src.index("PRESETS = {"): src.index("DEFAULT_PRESET")]
+    exec(block, ns)  # noqa: S102 - our own file, test-only
+    presets = ns["PRESETS"]
+    for name, overrides in presets.items():
+        assert name in inst.ARMS, f"bench preset {name!r} not adjudicated"
+        assert overrides == inst.ARMS[name], name
+    default = src.split('DEFAULT_PRESET = "')[1].split('"')[0]
+    assert default in presets
