@@ -1,5 +1,10 @@
-"""Device-mesh construction and data-parallel sharding helpers."""
+"""Device-mesh construction, sharding helpers, and pipeline parallelism."""
 
+from pointvit_tpu.parallel.pipeline import (
+    pipeline_blocks,
+    stack_block_params,
+    unstack_block_params,
+)
 from pointvit_tpu.parallel.mesh import (
     batch_shard_map,
     batch_sharding,
@@ -17,7 +22,10 @@ __all__ = [
     "make_hybrid_mesh",
     "make_mesh",
     "make_multihost_mesh",
+    "pipeline_blocks",
     "replicate",
+    "stack_block_params",
+    "unstack_block_params",
     "shard_batch",
     "transformer_tp_shardings",
 ]
