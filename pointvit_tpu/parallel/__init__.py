@@ -5,6 +5,7 @@ from pointvit_tpu.parallel.pipeline import (
     stack_block_params,
     unstack_block_params,
 )
+from pointvit_tpu.parallel.sequence import ring_mha
 from pointvit_tpu.parallel.mesh import (
     batch_shard_map,
     batch_sharding,
@@ -24,6 +25,7 @@ __all__ = [
     "make_multihost_mesh",
     "pipeline_blocks",
     "replicate",
+    "ring_mha",
     "stack_block_params",
     "unstack_block_params",
     "shard_batch",
