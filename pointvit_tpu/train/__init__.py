@@ -3,6 +3,7 @@
 from pointvit_tpu.train.trainer import (
     TrainState,
     Trainer,
+    TrainingDivergedError,
     build_optimizer,
     cross_entropy_loss,
 )
@@ -24,6 +25,7 @@ from pointvit_tpu.train.renderer_trainer import RendererTrainer
 
 __all__ = [
     "Trainer",
+    "TrainingDivergedError",
     "TrainState",
     "build_optimizer",
     "cross_entropy_loss",

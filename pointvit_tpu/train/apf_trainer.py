@@ -259,6 +259,7 @@ class APFTrainer(Trainer):
             test_loader=test_loader,
             trainable_mask=mask,
             prefetch=train_config.get("prefetch", 2),
+            nan_guard=train_config.get("nan_guard"),
         )
 
         pretrained = model_config.get("pretrained", True)

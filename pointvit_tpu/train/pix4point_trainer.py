@@ -144,6 +144,7 @@ class Pix4PointTrainer(Trainer):
             test_loader=test_loader,
             trainable_mask=trainable,
             prefetch=train_config.get("prefetch", 2),
+            nan_guard=train_config.get("nan_guard"),
         )
 
         if model_config.get("pretrained", True):

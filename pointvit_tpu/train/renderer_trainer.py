@@ -145,6 +145,7 @@ class RendererTrainer(Trainer):
             trainable_mask=mask,
             epoch_hooks=(_save_views_hook,),
             prefetch=train_config.get("prefetch", 2),
+            nan_guard=train_config.get("nan_guard"),
         )
 
         if model_config.get("pretrained", True):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import os
 import time
 from typing import Any, Callable
@@ -35,7 +36,20 @@ from flax.training import train_state
 from pointvit_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from pointvit_tpu.train.train_utils import save_configs
 
-__all__ = ["TrainState", "Trainer", "cross_entropy_loss", "build_optimizer"]
+__all__ = [
+    "TrainState",
+    "Trainer",
+    "TrainingDivergedError",
+    "cross_entropy_loss",
+    "build_optimizer",
+]
+
+
+class TrainingDivergedError(RuntimeError):
+    """Raised by ``Trainer(nan_guard='raise')`` when an epoch's mean train
+    loss comes back non-finite. The last written checkpoint is the recovery
+    point (SURVEY.md §5: checkpoint/resume is the reference's only recovery
+    primitive; the reference itself has no failure detection)."""
 
 
 class TrainState(train_state.TrainState):
@@ -145,6 +159,7 @@ class Trainer:
         profile_dir: str | None = None,
         trainable_mask=None,
         prefetch: int = 2,
+        nan_guard: str | None = None,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -173,6 +188,21 @@ class Trainer:
         self.save_best = save_best
         self.epoch_hooks = epoch_hooks
         self.prefetch = prefetch
+        # Failure detection (the reference has none — SURVEY.md §5):
+        #   None    — non-finite losses propagate (reference behavior);
+        #   "skip"  — device-side guard: a step whose loss or grads are
+        #             non-finite leaves params/opt_state/batch_stats
+        #             untouched (lax select over the state tree — no
+        #             per-step host read, which would serialize the host
+        #             pipeline and pay the remote-tunnel RTT); skipped
+        #             steps are counted and reported per epoch;
+        #   "raise" — raise TrainingDivergedError when an epoch's mean
+        #             train loss is non-finite (checked at the epoch-end
+        #             host read that already happens).
+        if nan_guard not in (None, "skip", "raise"):
+            raise ValueError(f"nan_guard must be None|'skip'|'raise', got {nan_guard!r}")
+        self.nan_guard = nan_guard
+        self.nan_skipped_total = 0
         self._base_key = jax.random.PRNGKey(seed)
 
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -367,10 +397,24 @@ class Trainer:
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_stats)
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
-        return state, loss, correct
+        new_state = state.apply_gradients(grads=grads).replace(
+            batch_stats=new_stats
+        )
+        if self.nan_guard != "skip":
+            return new_state, loss, correct, jnp.zeros((), jnp.int32)
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        # Poisoned step: keep the entire old state (params, opt_state,
+        # step counter, batch_stats) and zero its contribution to the
+        # epoch metrics. Elementwise selects fuse into the update.
+        state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_state, state
+        )
+        loss = jnp.where(finite, loss, 0.0)
+        correct = jnp.where(finite, correct, 0)
+        return state, loss, correct, (~finite).astype(jnp.int32)
 
     def _eval_step_impl(self, state: TrainState, points, labels, weights):
         variables = {"params": state.params}
@@ -405,6 +449,7 @@ class Trainer:
     def _train_epoch(self, epoch: int) -> tuple[float, float]:
         loss_sum = jnp.zeros(())
         correct_sum = jnp.zeros(())
+        skipped_sum = jnp.zeros((), jnp.int32)
         count = 0
         num_batches = 0
         for i, (pts, lbl, n) in enumerate(
@@ -421,18 +466,39 @@ class Trainer:
             timed = (i & 15) == 0
             if timed:
                 self.step_timer.start()
-            self.state, loss, correct = self._train_step(
+            self.state, loss, correct, skipped = self._train_step(
                 self.state, pts, lbl, step_key
             )
             if timed:
                 self.step_timer.stop(loss)
             loss_sum = loss_sum + loss
             correct_sum = correct_sum + correct
+            skipped_sum = skipped_sum + skipped
             count += n
             num_batches += 1
         if num_batches == 0:
             return 0.0, 0.0
-        return float(loss_sum) / num_batches, float(correct_sum) / count
+        if self.nan_guard == "skip":
+            skipped_i = int(skipped_sum)  # one per-epoch host read
+            if skipped_i:
+                self.nan_skipped_total += skipped_i
+                print(
+                    f"warning: epoch {epoch + 1}: skipped {skipped_i} "
+                    "non-finite train step(s)"
+                )
+                # Skipped batches were zeroed out of the sums; train
+                # batches are uniform (drop_last) so the denominators
+                # shrink by whole batches.
+                num_batches = max(num_batches - skipped_i, 1)
+                count = max(count - skipped_i * self.batch_size, 1)
+        train_loss = float(loss_sum) / num_batches
+        train_acc = float(correct_sum) / count
+        if self.nan_guard == "raise" and not math.isfinite(train_loss):
+            raise TrainingDivergedError(
+                f"non-finite mean train loss at epoch {epoch + 1}; "
+                "restore the last checkpoint to recover"
+            )
+        return train_loss, train_acc
 
     def _train_transfer(self, points, labels):
         pts, lbl = self._shard(points, labels)
