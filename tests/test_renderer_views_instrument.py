@@ -1,0 +1,70 @@
+"""Renderer views instrument: aggregation, pairing, and verdict logic.
+
+The training runs themselves are TPU-scale (ViT-B at 224²); what CPU CI can
+and should pin is the instrument's bookkeeping — that --aggregate-only pairs
+seeds correctly, drops incomplete runs, and applies the written
+reproduction rule mechanically.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "renderer_views_instrument.py")
+
+
+def _write_run(root, arm, seed, accs):
+    d = os.path.join(root, f"{arm}_seed{seed}")
+    os.makedirs(d, exist_ok=True)
+    rows = ["epoch,train_loss,train_accuracy,test_loss,test_accuracy"]
+    rows += [f"{i+1},1.0,0.5,1.0,{a}" for i, a in enumerate(accs)]
+    with open(os.path.join(d, "training_metrics.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def _aggregate(root, epochs=3):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no device needed; outage-proof
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--aggregate-only", "--epochs", str(epochs),
+         "--out", root],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    return json.load(open(os.path.join(root, "summary.json")))
+
+
+def test_aggregate_pairs_and_reproduces(tmp_path):
+    root = str(tmp_path / "rvi")
+    # fixed beats learned by ~2 pp on every seed → finding reproduced
+    for s, (f, l) in enumerate([(0.80, 0.78), (0.82, 0.80), (0.79, 0.77)]):
+        _write_run(root, "fixed", s, [0.5, 0.6, f])
+        _write_run(root, "learned", s, [0.5, 0.6, l])
+    summary = _aggregate(root)
+    assert summary["arms"]["fixed"]["n"] == 3
+    d = summary["arms"]["learned"]["paired_diff_vs_fixed"]
+    assert abs(d["mean"] - (-0.02)) < 1e-9
+    assert summary["arms"]["learned"]["reference_finding_reproduced"] is True
+
+
+def test_aggregate_drops_incomplete_and_unpaired(tmp_path):
+    root = str(tmp_path / "rvi")
+    _write_run(root, "fixed", 0, [0.5, 0.6, 0.80])
+    _write_run(root, "learned", 0, [0.5, 0.6, 0.78])
+    _write_run(root, "fixed", 1, [0.5, 0.6, 0.82])
+    _write_run(root, "learned", 1, [0.5, 0.6])  # incomplete (2 < 3 epochs)
+    _write_run(root, "fixed", 2, [0.5, 0.6, 0.81])  # unpaired (no learned)
+    summary = _aggregate(root)
+    assert summary["protocol"]["seeds"] == [0]
+    assert summary["arms"]["fixed"]["accs"] == [0.80]
+
+
+def test_aggregate_refutes_when_learned_wins(tmp_path):
+    root = str(tmp_path / "rvi")
+    for s in range(3):
+        _write_run(root, "fixed", s, [0.5, 0.6, 0.70])
+        _write_run(root, "learned", s, [0.5, 0.6, 0.80])  # +10 pp
+    summary = _aggregate(root)
+    assert summary["arms"]["learned"]["reference_finding_reproduced"] is False
