@@ -43,8 +43,9 @@ def _build_model(family: str, model_config: dict, dtype):
             dtype=dtype,
             # serving preset (models.apf_serving_preset): width-only FLOP
             # cut, +20% throughput; accuracy parity measured on synthetic
-            # corpora only so far (results/serving_preset_parity_full/,
-            # DESIGN.md) — real-data validation pending (RUNBOOK_real_data)
+            # corpora only so far (r3 paired-seed instrument,
+            # results/parity_r3/summary.json "slim" ACCEPTED, DESIGN.md) —
+            # real-data validation pending (RUNBOOK_real_data)
             encoder_second_width=model_config.get("encoder_second_width"),
             quantized=model_config.get("quantized", False),
         )

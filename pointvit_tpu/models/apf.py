@@ -121,8 +121,10 @@ def apf_serving_preset(**overrides) -> dict:
     runs at width E (768) instead of 2E (1536) — same structure (global+local
     fusion, depth, ReLU), half the hidden width of the two matmuls that
     dominate the model's FLOPs (~40% of total). Rationale + accuracy-parity
-    evidence (synthetic-only pending real-data runs): DESIGN.md "Serving
-    preset"; results/serving_preset_parity_full/.
+    evidence (synthetic-only pending real-data runs): the r3 paired-seed
+    instrument — results/parity_r3/summary.json ("slim" ACCEPTED, +9.9 pp
+    mean, CI95 lower +1.2 pp, 5 paired seeds at a 74.7% exact baseline);
+    DESIGN.md "r3 accuracy-parity instrument".
     The north-star target (BASELINE.md) is specified "at overall-accuracy
     parity", not at architecture identity; ``encoder_second_width=None``
     restores the exact reference encoder.

@@ -44,7 +44,8 @@ class GroupFeatureEncoder(nn.Module):
     # structure (global+local fusion, depth, nonlinearity), half the hidden
     # width — the encoder is ~40% of the model's FLOPs and this halves its
     # dominant two matmuls (accuracy-neutrality evidence, synthetic-only:
-    # results/serving_preset_parity_full/, DESIGN.md "Serving preset").
+    # the r3 paired-seed instrument, results/parity_r3/summary.json "slim"
+    # ACCEPTED; DESIGN.md "r3 accuracy-parity instrument").
     second_width: int | None = None
     # jax.checkpoint the training body (recompute-in-backward); enables
     # exact-config training at batch sizes whose activations overflow HBM.
