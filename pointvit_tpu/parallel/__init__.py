@@ -5,7 +5,7 @@ from pointvit_tpu.parallel.pipeline import (
     stack_block_params,
     unstack_block_params,
 )
-from pointvit_tpu.parallel.sequence import ring_mha
+from pointvit_tpu.parallel.sequence import ring_mha, ulysses_mha
 from pointvit_tpu.parallel.mesh import (
     batch_shard_map,
     batch_sharding,
@@ -27,6 +27,7 @@ __all__ = [
     "replicate",
     "ring_mha",
     "stack_block_params",
+    "ulysses_mha",
     "unstack_block_params",
     "shard_batch",
     "transformer_tp_shardings",

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["ring_mha"]
+__all__ = ["ring_mha", "ulysses_mha"]
 
 
 def ring_mha(
@@ -96,6 +96,69 @@ def ring_mha(
         )
         out = acc / l[..., None]  # (Bl, H, Sl, D)
         return out.transpose(0, 2, 1, 3).astype(out_dtype)
+
+    spec = P(data_axis, seq_axis) if data_axis else P(None, seq_axis)
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def ulysses_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    seq_axis: str = "seq",
+    data_axis: str | None = None,
+) -> jax.Array:
+    """Exact MHA, sequence-sharded, via head-scatter all-to-alls (Ulysses).
+
+    Same contract as :func:`ring_mha` (``(B, S, H, D) -> (B, S, H, D)``, S
+    sharded over ``seq_axis``) but a different collective pattern (the
+    DeepSpeed-Ulysses construction, arXiv:2309.14509): one ``all_to_all``
+    turns the sequence sharding into a *head* sharding (each device gets the
+    full S for H/n heads), attention runs locally with a plain softmax, and
+    a second ``all_to_all`` restores sequence sharding. Two all-to-alls of
+    the qkv/out tensors vs ring's n_seq activation hops — cheaper when
+    ``H % n_seq == 0`` and the full (S, S) per-head score block still fits
+    (ring never materializes it; Ulysses does, for H/n heads). Requires
+    ``S % n_seq == 0`` and ``H % n_seq == 0``.
+    """
+    n_seq = mesh.shape[seq_axis]
+    dp = mesh.shape[data_axis] if data_axis else 1
+    B, S, H, D = q.shape
+    if S % n_seq:
+        raise ValueError(f"sequence {S} not divisible by {n_seq} seq shards")
+    if H % n_seq:
+        raise ValueError(f"heads {H} not divisible by {n_seq} seq shards")
+    if B % dp:
+        raise ValueError(f"batch {B} not divisible by {dp} data shards")
+
+    def local_fn(q_blk, k_blk, v_blk):
+        # (Bl, S/n, H, D) --a2a--> (Bl, S, H/n, D): scatter heads, gather seq.
+        def seq_to_heads(x):
+            return jax.lax.all_to_all(
+                x, seq_axis, split_axis=2, concat_axis=1, tiled=True
+            )
+
+        def heads_to_seq(x):
+            return jax.lax.all_to_all(
+                x, seq_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+
+        qh = seq_to_heads(q_blk).astype(jnp.float32)
+        kh = seq_to_heads(k_blk).astype(jnp.float32)
+        vh = seq_to_heads(v_blk).astype(jnp.float32)
+        logits = jnp.einsum("bshd,bthd->bhst", qh, kh) * (D**-0.5)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhst,bthd->bshd", w, vh).astype(q_blk.dtype)
+        return heads_to_seq(out)
 
     spec = P(data_axis, seq_axis) if data_axis else P(None, seq_axis)
     fn = jax.shard_map(

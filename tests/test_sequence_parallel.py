@@ -13,6 +13,7 @@ import pytest
 from jax.sharding import Mesh
 
 from pointvit_tpu.parallel import ring_mha
+from pointvit_tpu.parallel.sequence import ulysses_mha
 
 # Exact-precision matmuls: this CPU backend's default f32 matmul runs a
 # bf16-like fast path that visibly perturbs softmax logits (CLAUDE.md).
@@ -92,6 +93,48 @@ def test_ring_mha_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("n_seq", [1, 3])  # H=3 heads → n_seq must divide 3
+def test_ulysses_mha_matches_reference(n_seq):
+    q, k, v = _qkv()
+    ref = _reference(q, k, v)
+    mesh = _mesh((n_seq,), ("seq",))
+    out = ulysses_mha(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_ulysses_mha_with_data_axis_and_grads():
+    # mesh (2, 3) = 6 of the 8 virtual devices; H=3 and S=24 divisible by 3
+    q, k, v = _qkv()
+    ref = _reference(q, k, v)
+    mesh = _mesh((2, 3), ("data", "seq"))
+    out = ulysses_mha(q, k, v, mesh, data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    g = jax.random.normal(jax.random.PRNGKey(9), (B, S, H, D))
+    gr = jax.grad(lambda a, b, c: jnp.sum(ulysses_mha(a, b, c, mesh, data_axis="data") * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(lambda a, b, c: jnp.sum(_reference(a, b, c) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_matches_ring():
+    q, k, v = _qkv(key=3)
+    mesh = _mesh((3,), ("seq",))
+    np.testing.assert_allclose(
+        np.asarray(ulysses_mha(q, k, v, mesh)),
+        np.asarray(ring_mha(q, k, v, mesh)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ulysses_head_divisibility_rejected():
+    q, k, v = _qkv()  # H=3 does not divide 2
+    with pytest.raises(ValueError, match="heads"):
+        ulysses_mha(q, k, v, _mesh((2,), ("seq",)))
 
 
 def test_ring_mha_shape_validation():
