@@ -171,3 +171,13 @@ class TestBenchShapeSmoke:
         nb, ctr = apf_group(pts, pts, BENCH_G, BENCH_K)
         assert nb.shape == (32, BENCH_G, BENCH_K, 6)
         assert np.isfinite(float(jnp.sum(nb)))
+
+    def test_tokenizer_at_v2_preset_shape(self):
+        # v2 preset (parity-instrument ACCEPTED, bench-default candidate):
+        # nsample 16 — pin the fused path also serves K=16 at APF shapes.
+        from pointvit_tpu.ops import apf_group
+
+        pts = jax.random.normal(jax.random.PRNGKey(5), (32, BENCH_N, 3), jnp.float32)
+        nb, ctr = apf_group(pts, pts, BENCH_G, 16)
+        assert nb.shape == (32, BENCH_G, 16, 6)
+        assert np.isfinite(float(jnp.sum(nb)))
