@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pointvit_tpu.ops.pallas_attention import (
     _mha_pallas,
@@ -146,11 +147,12 @@ def test_softmax_rows_sum_to_one_property():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
 
 
-def test_knn_group_pallas_interpret_matches_xla():
+@pytest.mark.parametrize("K", [8, 16, 32])  # 16/32 = v2/exact bench presets
+def test_knn_group_pallas_interpret_matches_xla(K):
     from pointvit_tpu.ops.knn import knn_gather, knn_indices
     from pointvit_tpu.ops.pallas_knn import knn_group_pallas
 
-    B, N, S, K = 2, 64, 16, 8
+    B, N, S = 2, 64, 16
     pts = _rand((B, N, 3), 6)
     ctr = pts[:, :S]
     feats = jnp.concatenate([pts, pts[..., :1]], -1)
