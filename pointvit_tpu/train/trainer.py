@@ -486,10 +486,17 @@ class Trainer:
                     f"warning: epoch {epoch + 1}: skipped {skipped_i} "
                     "non-finite train step(s)"
                 )
+                if skipped_i >= num_batches:
+                    # Every step was non-finite: no parameter update
+                    # happened and there is no surviving loss to average.
+                    # Reporting 0.0 here would disguise a fully-diverged
+                    # epoch as a healthy near-zero-loss one in the CSV
+                    # (advisor r3) — record NaN and let the caller see it.
+                    return float("nan"), float("nan")
                 # Skipped batches were zeroed out of the sums; train
                 # batches are uniform (drop_last) so the denominators
                 # shrink by whole batches.
-                num_batches = max(num_batches - skipped_i, 1)
+                num_batches -= skipped_i
                 count = max(count - skipped_i * self.batch_size, 1)
         train_loss = float(loss_sum) / num_batches
         train_acc = float(correct_sum) / count

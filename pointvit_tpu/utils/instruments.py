@@ -1,0 +1,89 @@
+"""Shared statistics helpers for the paired-seed instruments.
+
+Used by ``scripts/parity_instrument.py`` and
+``scripts/renderer_views_instrument.py``. Exists because positional pairing
+(zip over per-arm lists that drop failed seeds independently) can silently
+pair accuracies from *different* seeds — the r3 advisor's top finding. All
+pairing here is keyed by seed and computed over the explicit seed
+intersection, mirroring what a paired t-test actually requires.
+
+No reference counterpart (the reference, Irish-77/adapting-2D-ViTs-for-
+3D-point-cloud-understanding, runs single-seed experiments only — e.g.
+results/apf/apf_with_height/ is one run); this is rebuild-side methodology.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+# two-sided 95 % t critical values, df = 1..10 (>10 → normal approx)
+_T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+        6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228}
+
+
+def t95_stats(vals: list[float]) -> dict:
+    """Mean / sample std / t-based 95 % CI of a small sample."""
+    n = len(vals)
+    if n == 0:
+        return {"n": 0, "mean": None, "std": None, "ci95": None}
+    mean = sum(vals) / n
+    if n < 2:
+        return {"n": n, "mean": round(mean, 4), "std": None, "ci95": None}
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    half = _T95.get(n - 1, 1.96) * math.sqrt(var / n)
+    return {"n": n, "mean": round(mean, 4), "std": round(math.sqrt(var), 4),
+            "ci95": [round(mean - half, 4), round(mean + half, 4)]}
+
+
+def paired_diffs(arm: dict[int, float], base: dict[int, float]) -> tuple[list[int], list[float]]:
+    """Per-seed ``arm − base`` differences over the seed intersection.
+
+    Both inputs are seed→accuracy mappings; seeds missing from either side
+    (failed or unfinished runs) are simply excluded, never misaligned.
+    Returns ``(seeds, diffs)`` in ascending seed order.
+    """
+    seeds = sorted(set(arm) & set(base))
+    return seeds, [arm[s] - base[s] for s in seeds]
+
+
+def paired_stats(arm: dict[int, float], base: dict[int, float]) -> dict:
+    """t95_stats of the per-seed paired differences, tagged with the seeds."""
+    seeds, diffs = paired_diffs(arm, base)
+    out = t95_stats(diffs)
+    out["paired_seeds"] = seeds
+    return out
+
+
+def best_acc_from_csv(run_dir: str, min_epochs: int,
+                      acc_column: int = 4) -> float | None:
+    """Best test accuracy from a run dir's training_metrics.csv.
+
+    Returns None for absent or truncated (crashed mid-run) CSVs so callers
+    treat the seed as not-done rather than scoring a partial curve.
+    """
+    path = os.path.join(run_dir, "training_metrics.csv")
+    if not os.path.exists(path):
+        return None
+    rows = open(path).read().strip().split("\n")[1:]
+    if len(rows) < min_epochs:
+        return None
+    return max(float(r.split(",")[acc_column]) for r in rows)
+
+
+def collect_by_seed(out_dir: str, arm: str, min_epochs: int) -> dict[int, float]:
+    """Seed→best-accuracy for every complete ``{arm}_seed{N}`` run on disk."""
+    results: dict[int, float] = {}
+    prefix = f"{arm}_seed"
+    if not os.path.isdir(out_dir):
+        return results
+    for d in os.listdir(out_dir):
+        if not d.startswith(prefix):
+            continue
+        tail = d[len(prefix):]
+        if not tail.isdigit():
+            continue
+        acc = best_acc_from_csv(os.path.join(out_dir, d), min_epochs)
+        if acc is not None:
+            results[int(tail)] = acc
+    return results

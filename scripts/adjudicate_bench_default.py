@@ -50,12 +50,21 @@ def decide(summary: dict, throughput: dict) -> dict:
                         "exact if the negative control is accepted or "
                         "nothing admissible is measured"}
 
+    # The rail requires the negative control to have been run AND rejected:
+    # an absent/unverdicted neg_k8 entry means the instrument's
+    # discriminative power is unverified, so no acceptance may be trusted
+    # (advisor r3: arms.get(...) returning {} silently passed this rail).
     neg = arms.get("neg_k8", {})
-    if neg.get("accepted") is True:
+    if neg.get("accepted") is not False:
         decision.update(
             choice="exact",
-            reason="negative control (neg_k8) ACCEPTED — instrument "
-                   "discredited, every acceptance void",
+            reason=(
+                "negative control (neg_k8) ACCEPTED — instrument "
+                "discredited, every acceptance void"
+                if neg.get("accepted") is True
+                else "negative control (neg_k8) missing or unverdicted — "
+                     "instrument power unverified, acceptances not usable"
+            ),
         )
         return decision
 

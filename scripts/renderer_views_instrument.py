@@ -26,31 +26,23 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pointvit_tpu.utils.instruments import (  # noqa: E402
+    best_acc_from_csv,
+    collect_by_seed,
+    paired_stats,
+    t95_stats as _stats,
+)
+
 ARMS: dict[str, dict] = {
     "fixed": {"diff_renderer": False},
     "learned": {"diff_renderer": True},
 }
-
-_T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
-        6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228}
-
-
-def _stats(vals: list[float]) -> dict:
-    n = len(vals)
-    mean = sum(vals) / n
-    if n < 2:
-        return {"n": n, "mean": round(mean, 4), "std": None, "ci95": None}
-    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
-    half = _T95.get(n - 1, 1.96) * math.sqrt(var / n)
-    return {"n": n, "mean": round(mean, 4), "std": round(math.sqrt(var), 4),
-            "ci95": [round(mean - half, 4), round(mean + half, 4)]}
 
 
 def _train_once(data, *, seed: int, epochs: int, overrides: dict,
@@ -146,42 +138,21 @@ def main() -> None:
     seeds = [0] if args.calibrate else list(
         range(args.seed_start, args.seed_start + args.seeds))
 
-    def _best_from_csv(run_dir: str) -> float | None:
-        path = os.path.join(run_dir, "training_metrics.csv")
-        if not os.path.exists(path):
-            return None
-        rows = open(path).read().strip().split("\n")[1:]
-        if len(rows) < args.epochs:  # partial (crashed) run — redo it
-            return None
-        return max(float(r.split(",")[4]) for r in rows)
-
+    # Seed-keyed results (shared helper with scripts/parity_instrument.py;
+    # advisor r3: positional pairing can silently misalign seeds).
     if args.aggregate_only:
-        seeds = sorted(
-            int(d.rsplit("seed", 1)[1])
-            for d in os.listdir(args.out)
-            if d.startswith("fixed_seed")
-            and _best_from_csv(os.path.join(args.out, d)) is not None
-        )
-        seeds = [
-            s for s in seeds
-            if all(
-                _best_from_csv(os.path.join(args.out, f"{a}_seed{s}")) is not None
-                for a in arm_names
-            )
-        ]
-        results = {
-            a: [_best_from_csv(os.path.join(args.out, f"{a}_seed{s}")) for s in seeds]
-            for a in arm_names
-        }
+        results = {a: collect_by_seed(args.out, a, args.epochs)
+                   for a in arm_names}
+        seeds = sorted({s for r in results.values() for s in r})
     else:
-        results = {a: [] for a in arm_names}
+        results = {a: {} for a in arm_names}
         for seed in seeds:
             for arm in arm_names:
                 t0 = time.time()
                 out_dir = os.path.join(args.out, f"{arm}_seed{seed}")
-                done = _best_from_csv(out_dir)
+                done = best_acc_from_csv(out_dir, args.epochs)
                 if done is not None:
-                    results[arm].append(done)
+                    results[arm][seed] = done
                     print(f"[  cached] seed {seed} {arm:8s}: "
                           f"best test acc {done:.4f}", flush=True)
                     continue
@@ -196,7 +167,7 @@ def main() -> None:
                     print(f"[{time.time()-t0:7.1f}s] seed {seed} {arm:8s}: "
                           f"FAILED {type(e).__name__}: {e}", flush=True)
                     continue
-                results[arm].append(best)
+                results[arm][seed] = best
                 print(f"[{time.time()-t0:7.1f}s] seed {seed} {arm:8s}: "
                       f"best test acc {best:.4f}", flush=True)
 
@@ -217,13 +188,16 @@ def main() -> None:
     }
     fixed = results["fixed"]
     for arm in arm_names:
-        entry = {"accs": [round(v, 4) for v in results[arm]],
-                 **_stats(results[arm])}
-        if arm != "fixed" and len(fixed) == len(results[arm]) >= 2:
-            diffs = [l - f for l, f in zip(results[arm], fixed)]
-            d = _stats(diffs)
-            entry["paired_diff_vs_fixed"] = d
-            entry["reference_finding_reproduced"] = bool(d["mean"] * 100 <= 1.0)
+        by_seed = results[arm]
+        entry = {"seeds": sorted(by_seed),
+                 "accs": [round(by_seed[s], 4) for s in sorted(by_seed)],
+                 **_stats([by_seed[s] for s in sorted(by_seed)])}
+        if arm != "fixed":
+            d = paired_stats(by_seed, fixed)
+            if d["n"] >= 1:
+                entry["paired_diff_vs_fixed"] = d
+            if d["n"] >= 2:
+                entry["reference_finding_reproduced"] = bool(d["mean"] * 100 <= 1.0)
         summary["arms"][arm] = entry
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -37,6 +37,27 @@ def test_negative_control_acceptance_discredits():
     assert "discredited" in d["reason"]
 
 
+def test_negative_control_missing_blocks_acceptances():
+    """Advisor r3: an absent neg_k8 entry must not pass the rail — the
+    instrument's power is unverified, so the default reverts to exact."""
+    d = decide(
+        _summary(slim=True, v2=True),  # no neg_k8 arm at all
+        {"v2": {"clouds_per_sec": 2980.0},
+         "exact": {"clouds_per_sec": 2100.0}},
+    )
+    assert d["choice"] == "exact"
+    assert "missing or unverdicted" in d["reason"]
+
+
+def test_negative_control_unverdicted_blocks_acceptances():
+    # neg_k8 ran but has no verdict (e.g. <2 paired seeds)
+    d = decide(
+        {"arms": {"slim": {"accepted": True}, "neg_k8": {"n": 1}}},
+        {"slim": {"clouds_per_sec": 2520.0}},
+    )
+    assert d["choice"] == "exact"
+
+
 def test_unmeasured_arms_keep_current_default():
     d = decide(_summary(slim=True, neg_k8=False), {})
     assert d["choice"] is None

@@ -78,6 +78,11 @@ def test_skip_all_batches_poisoned_keeps_params(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(t.state.params["Dense_0"]["kernel"]), before
     )
+    # a fully-diverged epoch must NOT masquerade as loss 0.0 in the CSV
+    # (advisor r3): with every step skipped the epoch records NaN
+    rows = open(t.metrics_csv_path).read().strip().split("\n")
+    assert math.isnan(float(rows[1].split(",")[1]))
+    assert math.isnan(float(rows[1].split(",")[2]))
 
 
 def test_raise_on_divergence(tmp_path):

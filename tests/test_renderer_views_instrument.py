@@ -57,8 +57,33 @@ def test_aggregate_drops_incomplete_and_unpaired(tmp_path):
     _write_run(root, "learned", 1, [0.5, 0.6])  # incomplete (2 < 3 epochs)
     _write_run(root, "fixed", 2, [0.5, 0.6, 0.81])  # unpaired (no learned)
     summary = _aggregate(root)
-    assert summary["protocol"]["seeds"] == [0]
-    assert summary["arms"]["fixed"]["accs"] == [0.80]
+    # every complete run is reported per arm …
+    assert summary["arms"]["fixed"]["seeds"] == [0, 1, 2]
+    assert summary["arms"]["fixed"]["accs"] == [0.80, 0.82, 0.81]
+    # … but pairing is restricted to the seed intersection
+    d = summary["arms"]["learned"]["paired_diff_vs_fixed"]
+    assert d["paired_seeds"] == [0]
+    assert d["n"] == 1
+    # no verdict at n=1 (the rule needs a CI)
+    assert "reference_finding_reproduced" not in summary["arms"]["learned"]
+
+
+def test_aggregate_pairs_by_seed_not_position(tmp_path):
+    """Advisor r3 medium finding: one failure per arm at *different* seeds
+    must not shift pairs into misalignment."""
+    root = str(tmp_path / "rvi")
+    accs = {0: (0.80, 0.78), 2: (0.60, 0.90), 3: (0.82, 0.80)}
+    for s, (f, l) in accs.items():
+        _write_run(root, "fixed", s, [0.5, 0.5, f])
+        _write_run(root, "learned", s, [0.5, 0.5, l])
+    # fixed missing seed 2, learned missing seed 3: positional zip would
+    # pair fixed(0,3) with learned(0,2) — seed-keyed pairing keeps only 0
+    os.remove(os.path.join(root, "fixed_seed2", "training_metrics.csv"))
+    os.remove(os.path.join(root, "learned_seed3", "training_metrics.csv"))
+    summary = _aggregate(root)
+    d = summary["arms"]["learned"]["paired_diff_vs_fixed"]
+    assert d["paired_seeds"] == [0]
+    assert abs(d["mean"] - (-0.02)) < 1e-9
 
 
 def test_aggregate_refutes_when_learned_wins(tmp_path):

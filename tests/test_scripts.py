@@ -22,6 +22,27 @@ def _run(args, timeout=420):
     )
 
 
+def test_bench_outage_emits_json_error_line():
+    """Tunnel outages must leave BENCH_r*.json machine-readable: bench.py
+    prints ONE structured JSON error line (rc != 0), not a raw traceback
+    (r3 verdict #6 — BENCH_r03.json tail was an unparseable traceback)."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize skips registration
+    env["JAX_PLATFORMS"] = "axon"  # ask for a backend that cannot exist
+    env["PYTHONPATH"] = _REPO
+    r = subprocess.run(
+        [sys.executable, "bench.py"], cwd=_REPO, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode != 0
+    line = r.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["error"] == "tpu-unavailable"
+    assert parsed["value"] is None
+
+
 def test_explore_dataset_script(tmp_path):
     r = _run(["scripts/explore_dataset.py", "--synthetic"])
     assert r.returncode == 0, r.stderr[-2000:]
