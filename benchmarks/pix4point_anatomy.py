@@ -64,7 +64,8 @@ def main() -> None:
     pts = jax.random.normal(key, (B, N, 3), jnp.float32)
     out = {}
 
-    # 1. full model
+    # 1. full model — auto (fused whole-block kernels on TPU) vs the
+    # attention-only-fused path (the pre-r4 default, 'attn')
     model = Pix4Point(num_classes=15, embed_dim=E, depth=12, num_heads=H,
                       k_neighbors=16, dtype=jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(1)}, pts[:1])
@@ -72,24 +73,36 @@ def main() -> None:
     float(fwd(variables, pts))
     out["full_model_ms"] = _time(fwd, (variables, pts)) * 1e3
 
+    model_attn = Pix4Point(num_classes=15, embed_dim=E, depth=12, num_heads=H,
+                           k_neighbors=16, dtype=jnp.bfloat16,
+                           implementation="attn")
+    fwd_attn = jax.jit(lambda v, p: jnp.sum(model_attn.apply(v, p, train=False)))
+    float(fwd_attn(variables, pts))
+    out["full_model_attn_only_ms"] = _time(fwd_attn, (variables, pts)) * 1e3
+
     # 2. tokenizer grouping (FPS+kNN): p3_group at the model's shape
     tok = jax.jit(lambda p: jnp.sum(p3_group(p, p, S - 1, 16)[1]))
     float(tok(pts))
     out["p3_group_ms"] = _time(tok, (pts,)) * 1e3
 
-    # 3. isolated ViT block fwd, slope-fit (n chained blocks per dispatch)
-    blk = ViTBlock(H, dtype=jnp.bfloat16)
+    # 3. isolated ViT block fwd, slope-fit (n chained blocks per dispatch):
+    # auto (fused whole-block, r4) vs 'attn' (XLA glue + fused attention, r3)
     xb = jax.random.normal(key, (B, S, E), jnp.bfloat16)
-    bparams = blk.init({"params": jax.random.PRNGKey(2)}, xb)
+    bparams = ViTBlock(H, dtype=jnp.bfloat16).init({"params": jax.random.PRNGKey(2)}, xb)
 
-    def block_chain(n):
-        def f(p, x):
-            for _ in range(n):
-                x = blk.apply(p, x)
-            return x
-        return f
+    def block_chain(impl):
+        blk = ViTBlock(H, dtype=jnp.bfloat16, implementation=impl)
 
-    out["vit_block_ms"] = _slope(block_chain, (bparams, xb)) * 1e3
+        def build(n):
+            def f(p, x):
+                for _ in range(n):
+                    x = blk.apply(p, x)
+                return x
+            return f
+        return build
+
+    out["vit_block_ms"] = _slope(block_chain(None), (bparams, xb)) * 1e3
+    out["vit_block_attn_only_ms"] = _slope(block_chain("attn"), (bparams, xb)) * 1e3
 
     # 4. attention kernel alone, slope-fit (head-chunked two-pass at S=513)
     qkv = jax.random.normal(key, (B, S, 3 * E), jnp.bfloat16)

@@ -56,11 +56,14 @@ class PointViT(nn.Module):
         if features is None:
             features = points  # reference clones coords as features (pix4point.py:237-238)
 
+        # Block-level implementation values ('fused'/'attn') don't apply to
+        # the tokenizer's FPS/kNN samplers — those only know 'xla' vs auto.
+        tok_impl = self.implementation if self.implementation == "xla" else None
         centers, tokens = P3Embed(
             in_channels=self.in_channels,
             k=self.k_neighbors,
             dtype=self.dtype,
-            implementation=self.implementation,
+            implementation=tok_impl,
             name="patch_embed",
         )(points, features, train=train)
 
@@ -86,7 +89,10 @@ class PointViT(nn.Module):
         )
 
         # The positional embedding is re-added before *every* block
-        # (pix4point.py:254-255), not just once.
+        # (pix4point.py:254-255), not just once. Passing it as the block's
+        # ``pos`` keeps the add inside the fused kernel on the TPU inference
+        # path (x+pos never materializes in HBM); the XLA path adds it at the
+        # top of the block — identical math either way.
         for i in range(self.depth):
             x = ViTBlock(
                 self.num_heads,
@@ -94,7 +100,7 @@ class PointViT(nn.Module):
                 dtype=self.dtype,
                 implementation=self.implementation,
                 name=f"blocks_{i}",
-            )(x + pos, deterministic=not train)
+            )(x, pos=pos, deterministic=not train)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
         token_features = x[:, 1:, :]

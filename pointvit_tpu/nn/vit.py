@@ -36,24 +36,74 @@ __all__ = ["ViTBlock", "APFBlock", "SerialAdapterBlock", "ImageViT"]
 
 
 class ViTBlock(nn.Module):
-    """Standard pre-norm transformer block (timm layout: norm1/attn/norm2/mlp)."""
+    """Standard pre-norm transformer block (timm layout: norm1/attn/norm2/mlp).
+
+    ``pos`` (optional) is added to the input before the block — Pix4Point's
+    per-block positional re-add (pix4point.py:254-255). On the fused path the
+    add happens inside the attention-half kernel, so x+pos never exists in HBM.
+
+    ``implementation``: None = auto (whole-block fused Pallas kernels for TPU
+    inference, XLA + fused attention otherwise); 'fused' forces the fused
+    block; 'attn' keeps the block glue in XLA with only the attention fused;
+    'xla' forces the einsum attention path (no Pallas anywhere).
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # None = auto; 'xla' forces the einsum attention path (no Pallas).
     implementation: str | None = None
 
+    def _fused_ok(self, deterministic: bool) -> bool:
+        if self.implementation in ("xla", "attn") or not deterministic:
+            return False
+        if self.mlp_ratio != 4.0:
+            return False  # kernel oracle-tested at the timm 4·dim hidden only
+        if self.is_initializing() or not self.has_variable("params", "norm1"):
+            return False
+        if self.implementation == "fused":
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        pos: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
         dim = x.shape[-1]
+        if self._fused_ok(deterministic):
+            # Inference: the whole block runs as two Pallas kernels — the
+            # pos re-add, LayerNorms, and residuals never round-trip HBM
+            # (ops/pallas_block.py::fused_vit_block).
+            from pointvit_tpu.ops.pallas_block import (
+                fused_vit_block,
+                vit_block_weights,
+            )
+
+            weights = vit_block_weights(self.variables["params"])
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return fused_vit_block(
+                x.astype(self.dtype), weights, self.num_heads, pos, interpret
+            )
+        if pos is not None:
+            x = x + pos.astype(x.dtype)
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        impl = self.implementation
+        if impl == "xla":
+            impl = "einsum"
+        elif impl in ("attn", "fused"):
+            impl = None  # auto: fused attention kernel on TPU
         h = Attention(
             self.num_heads,
             dtype=self.dtype,
-            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            implementation=impl,
             name="attn",
         )(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)

@@ -30,7 +30,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_apf_block", "apf_block_weights", "reference_apf_block"]
+__all__ = [
+    "fused_apf_block",
+    "apf_block_weights",
+    "reference_apf_block",
+    "fused_vit_block",
+    "vit_block_weights",
+    "reference_vit_block",
+]
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default (the rebuild's LN epsilon)
 
@@ -224,6 +231,204 @@ def _fab_bwd(num_heads, interpret, res, g):
 
 
 fused_apf_block.defvjp(_fab_fwd, _fab_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused standard pre-norm ViT block (Pix4Point trunk, pix4point.py:254-255):
+#
+#     attn half:  x1  = xp + proj(MHA(qkv(LN1(xp)))),  xp = x + pos
+#     mlp half:   out = x1 + fc2(gelu(fc1(LN2(x1))))
+#
+# Pix4Point re-adds the positional embedding before *every* block, so the
+# attn half takes `pos` as an operand and forms xp in VMEM — the (B, S, E)
+# x+pos tensor never exists in HBM. At the Pix4Point shape (S=513, H=6) the
+# full-head (H, S, S) f32 logits scratch is 6.3 MB, over the scoped-VMEM
+# comfort zone next to the double-buffered activation blocks, so the
+# attention runs the head-chunked two-pass schedule (all of a chunk's QK^T →
+# one softmax → the chunk's PV; see ops/pallas_attention.py for the
+# measured MXU/VPU pipelining rationale).
+# ---------------------------------------------------------------------------
+
+_VIT_ATTN_SCRATCH_BUDGET = 4 * 2**20  # f32 logits scratch bytes (per grid step)
+
+
+def _vit_attn_chunk(S: int, num_heads: int) -> int:
+    """Heads per two-pass chunk whose (ch, S, S) f32 scratch fits the budget
+    (always ≥ 1: a single head's logits tile is the kernel's working set)."""
+    ch = min(num_heads, max(1, _VIT_ATTN_SCRATCH_BUDGET // (S * S * 4)))
+    while ch > 1 and num_heads % ch:
+        ch -= 1
+    return ch
+
+
+def _vit_attn_half_kernel(num_heads, head_dim, chunk, has_pos, *refs):
+    if has_pos:
+        x_ref, pos_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
+    else:
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
+    E = num_heads * head_dim
+    dt = x_ref.dtype
+    scale = head_dim**-0.5
+    x = x_ref[0]  # (S, E)
+    if has_pos:
+        x = x + pos_ref[0]  # compute-dtype add, matching the model's x + pos
+    h = _ln(x.astype(jnp.float32), g1[...], b1[...]).astype(dt)
+    qkv = (_dot(h, wqkv[...]) + bqkv[...]).astype(dt)  # (S, 3E), VMEM-only
+    for c in range(0, num_heads, chunk):
+        for j in range(chunk):
+            hd = c + j
+            q = qkv[:, hd * head_dim : (hd + 1) * head_dim]
+            k = qkv[:, E + hd * head_dim : E + (hd + 1) * head_dim]
+            lg_ref[j] = (
+                lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+        lg = lg_ref[...]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp(lg - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+        for j in range(chunk):
+            hd = c + j
+            v = qkv[:, 2 * E + hd * head_dim : 2 * E + (hd + 1) * head_dim]
+            att_ref[:, hd * head_dim : (hd + 1) * head_dim] = jnp.dot(
+                p[j], v, preferred_element_type=jnp.float32
+            ).astype(dt)
+    res = _dot(att_ref[...], wproj[...]) + bproj[...]
+    o_ref[0] = (x.astype(jnp.float32) + res).astype(o_ref.dtype)
+
+
+def _vit_mlp_half_kernel(x_ref, g2, b2, wfc1, bfc1, wfc2, bfc2, o_ref):
+    dt = x_ref.dtype
+    x1f = x_ref[0].astype(jnp.float32)  # (S, E)
+    h = _ln(x1f, g2[...], b2[...]).astype(dt)
+    h = _gelu_exact(_dot(h, wfc1[...]) + bfc1[...]).astype(dt)  # (S, hidden)
+    mlp = _dot(h, wfc2[...]) + bfc2[...]  # (S, E) f32
+    o_ref[0] = (x1f + mlp).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _vit_block_pallas(x, weights, num_heads: int, pos=None, *, interpret: bool = False):
+    B, S, E = x.shape
+    D = E // num_heads
+    dt = x.dtype
+    g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2 = weights
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    mat = lambda v: v.astype(dt)
+    has_pos = pos is not None
+    chunk = _vit_attn_chunk(S, num_heads)
+
+    attn_in = [mat(x)]
+    attn_specs = [pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    if has_pos:
+        attn_in.append(jnp.broadcast_to(pos.astype(dt), (B, S, E)))
+        attn_specs.append(
+            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+    attn_in += [row(g1), row(b1), mat(wqkv), row(bqkv), mat(wproj), row(bproj)]
+    attn_specs += [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in attn_in[1 + has_pos :]
+    ]
+    x1 = pl.pallas_call(
+        functools.partial(_vit_attn_half_kernel, num_heads, D, chunk, has_pos),
+        grid=(B,),
+        in_specs=attn_specs,
+        out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), dt),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, S, S), jnp.float32),
+            pltpu.VMEM((S, E), dt),
+        ],
+        interpret=interpret,
+    )(*attn_in)
+
+    mlp_in = [x1, row(g2), row(b2), mat(wfc1), row(bfc1), mat(wfc2), row(bfc2)]
+    mlp_specs = [
+        pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ] + [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in mlp_in[1:]
+    ]
+    return pl.pallas_call(
+        _vit_mlp_half_kernel,
+        grid=(B,),
+        in_specs=mlp_specs,
+        out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), dt),
+        interpret=interpret,
+    )(*mlp_in)
+
+
+def reference_vit_block(x, weights, num_heads: int, pos=None):
+    """jnp equivalent (compute-dtype matmuls, f32 LN stats) — backward
+    recompute and interpret oracle. Mirrors ViTBlock's XLA inference math."""
+    g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2 = weights
+    B, S, E = x.shape
+    dt = x.dtype
+    c = lambda v: v.astype(dt)
+
+    def ln(t, g, b):
+        return _ln(
+            t.astype(jnp.float32), g.astype(jnp.float32), b.astype(jnp.float32)
+        ).astype(dt)
+
+    if pos is not None:
+        x = x + pos.astype(dt)
+    h = ln(x, g1, b1)
+    qkv = h @ c(wqkv) + c(bqkv)
+    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
+    x1 = x + (att @ c(wproj) + c(bproj))
+
+    h = ln(x1, g2, b2)
+    h = jax.nn.gelu(h @ c(wfc1) + c(bfc1), approximate=False)
+    return x1 + (h @ c(wfc2) + c(bfc2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 4))
+def fused_vit_block(x, weights, num_heads: int, pos=None, interpret: bool = False):
+    """Whole standard pre-norm ViT block (inference), fused as two Pallas
+    kernels; x: (B, S, E) → (B, S, E). ``pos`` (broadcastable to x) is added
+    in-kernel before LN1 and the attention residual — Pix4Point's per-block
+    positional re-add (pix4point.py:254-255) without an HBM materialization."""
+    return _vit_block_pallas(x, tuple(weights), num_heads, pos, interpret=interpret)
+
+
+def _fvb_fwd(x, weights, num_heads, pos, interpret):
+    out = _vit_block_pallas(x, tuple(weights), num_heads, pos, interpret=interpret)
+    return out, (x, tuple(weights), pos)
+
+
+def _fvb_bwd(num_heads, interpret, res, g):
+    x, weights, pos = res
+    if pos is None:
+        _, vjp = jax.vjp(lambda t, w: reference_vit_block(t, w, num_heads), x, weights)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda t, w, p: reference_vit_block(t, w, num_heads, p), x, weights, pos
+    )
+    return vjp(g)
+
+
+fused_vit_block.defvjp(_fvb_fwd, _fvb_bwd)
+
+
+def vit_block_weights(params):
+    """Flatten a ViTBlock param subtree into the kernel's 12-tuple (f32)."""
+    p = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    return (
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+    )
 
 
 def apf_block_weights(params):

@@ -72,6 +72,18 @@ class TestFusedSelection:
         assert blk.bind(variables)._fused_ok(True)
         assert not blk.bind(variables)._fused_ok(False)  # training
 
+    def test_vit_block_selects_fused(self):
+        from pointvit_tpu.nn.vit import ViTBlock
+
+        blk = ViTBlock(num_heads=4, dtype=jnp.bfloat16)
+        x = jnp.zeros((2, 8, 64))
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        assert blk.bind(variables)._fused_ok(True)
+        assert not blk.bind(variables)._fused_ok(False)  # training
+        assert not ViTBlock(num_heads=4, implementation="attn").bind(
+            variables
+        )._fused_ok(True)
+
 
 class TestFusedEqualsXLAOnDevice:
     """fused vs implementation='xla' at real (scaled-down-batch) shapes,
@@ -96,6 +108,31 @@ class TestFusedEqualsXLAOnDevice:
             np.asarray(out_fused, np.float32),
             np.asarray(out_xla, np.float32),
             atol=0.25, rtol=0.05,  # bf16 accumulation-order differences over 2 blocks
+        )
+
+    def test_vit_block_fused_matches_xla_at_pix4point_geometry(self):
+        """Fused whole-block kernel (head-chunked two-pass at S=513) vs the
+        forced-XLA block, on the chip — interpret-mode tests can't catch
+        XLA-TPU-only numeric rewrites (CLAUDE.md bf16-round-trip trap)."""
+        from pointvit_tpu.nn.vit import ViTBlock
+
+        S, E, H = 513, 384, 6
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, S, E), jnp.bfloat16)
+        pos = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, S, E), jnp.bfloat16)
+        blk = ViTBlock(H, dtype=jnp.bfloat16)
+        variables = blk.init({"params": jax.random.PRNGKey(2)}, x)
+        ref = ViTBlock(H, dtype=jnp.bfloat16, implementation="xla")
+
+        out_fused = jax.jit(
+            lambda v, t, p: blk.apply(v, t, pos=p, deterministic=True)
+        )(variables, x, pos)
+        out_xla = jax.jit(
+            lambda v, t, p: ref.apply(v, t, pos=p, deterministic=True)
+        )(variables, x, pos)
+        np.testing.assert_allclose(
+            np.asarray(out_fused, np.float32),
+            np.asarray(out_xla, np.float32),
+            atol=0.15, rtol=0.05,  # bf16 accumulation-order differences
         )
 
     def test_p3_group_fused_matches_xla(self):

@@ -1,14 +1,17 @@
-"""Equivalence tests for the fused APF-block kernels (ops/pallas_block.py)."""
+"""Equivalence tests for the fused APF/ViT-block kernels (ops/pallas_block.py)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointvit_tpu.nn.vit import APFBlock
+from pointvit_tpu.nn.vit import APFBlock, ViTBlock
 from pointvit_tpu.ops.pallas_block import (
     apf_block_weights,
     fused_apf_block,
+    fused_vit_block,
     reference_apf_block,
+    reference_vit_block,
+    vit_block_weights,
 )
 
 B, S, E, H = 2, 10, 32, 4
@@ -56,6 +59,82 @@ def test_gradients_flow_through_fused_block():
         g_fused = jax.grad(lambda t: jnp.sum(fused_apf_block(t, w, H, True) ** 2))(x)
         g_ref = jax.grad(lambda t: jnp.sum(reference_apf_block(t, w, H) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def _init_vit_block(seed=0, S=S, E=E, H=H):
+    block = ViTBlock(H, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(seed), (B, S, E), jnp.float32)
+    pos = 0.1 * jax.random.normal(jax.random.PRNGKey(seed + 100), (B, S, E), jnp.float32)
+    variables = block.init({"params": jax.random.PRNGKey(1)}, x)
+    return variables, x, pos
+
+
+def test_fused_vit_block_matches_xla_inference():
+    variables, x, pos = _init_vit_block()
+    with jax.default_matmul_precision("highest"):
+        want = ViTBlock(H, implementation="xla").apply(
+            variables, x, pos=pos, deterministic=True
+        )
+        got = ViTBlock(H, implementation="fused").apply(
+            variables, x, pos=pos, deterministic=True
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_fused_vit_block_no_pos():
+    variables, x, _ = _init_vit_block(seed=2)
+    with jax.default_matmul_precision("highest"):
+        want = ViTBlock(H, implementation="xla").apply(variables, x, deterministic=True)
+        got = ViTBlock(H, implementation="fused").apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_vit_kernel_matches_reference_impl():
+    variables, x, pos = _init_vit_block(seed=3)
+    w = vit_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        got = fused_vit_block(x, w, H, pos, True)
+        want = reference_vit_block(x, w, H, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_vit_kernel_head_chunked_schedule():
+    """Pix4Point geometry (S=513 → head-chunked two-pass) vs the oracle."""
+    variables, x, pos = _init_vit_block(seed=4, S=513, E=96, H=6)
+    from pointvit_tpu.ops import pallas_block
+
+    assert pallas_block._vit_attn_chunk(513, 6) == 3  # the Pix4Point case
+    w = vit_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        got = fused_vit_block(x, w, 6, pos, True)
+        want = reference_vit_block(x, w, 6, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_gradients_flow_through_fused_vit_block():
+    variables, x, pos = _init_vit_block(seed=5)
+    w = vit_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        loss_f = lambda t, p: jnp.sum(fused_vit_block(t, w, H, p, True) ** 2)
+        loss_r = lambda t, p: jnp.sum(reference_vit_block(t, w, H, p) ** 2)
+        gx_f, gp_f = jax.grad(loss_f, argnums=(0, 1))(x, pos)
+        gx_r, gp_r = jax.grad(loss_r, argnums=(0, 1))(x, pos)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), rtol=1e-4, atol=1e-4)
+
+
+def test_vit_training_mode_keeps_xla_path():
+    """deterministic=False must not take the fused path — outputs must match
+    the forced-XLA path exactly under the same rngs."""
+    variables, x, pos = _init_vit_block(seed=7)
+    rngs = {"dropout": jax.random.PRNGKey(9)}
+    out_auto = ViTBlock(H, dropout_rate=0.3).apply(
+        variables, x, pos=pos, deterministic=False, rngs=rngs
+    )
+    out_xla = ViTBlock(H, dropout_rate=0.3, implementation="xla").apply(
+        variables, x, pos=pos, deterministic=False, rngs=rngs
+    )
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla))
 
 
 def test_training_mode_keeps_xla_path():
