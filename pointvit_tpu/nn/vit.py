@@ -215,17 +215,52 @@ class SerialAdapterBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # None = auto; 'xla' forces the einsum attention path (no Pallas).
+    # None = auto (whole-block fused kernels for TPU inference); 'fused'
+    # forces them; 'attn' keeps the glue in XLA with only the attention
+    # fused; 'xla' forces the einsum path (no Pallas).
     implementation: str | None = None
+
+    def _fused_ok(self, deterministic: bool) -> bool:
+        if self.implementation in ("xla", "attn") or not deterministic:
+            return False
+        if self.mlp_ratio != 4.0:
+            return False  # kernel oracle-tested at the torchvision 4·dim hidden
+        if self.is_initializing() or not self.has_variable("params", "ln_1"):
+            return False
+        if self.implementation == "fused":
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
+        if self._fused_ok(deterministic):
+            # Inference: the whole block runs as two Pallas kernels — LNs,
+            # residuals, and both serial adapters never round-trip HBM
+            # (ops/pallas_block.py::fused_serial_block).
+            from pointvit_tpu.ops.pallas_block import (
+                fused_serial_block,
+                serial_block_weights,
+            )
+
+            weights = serial_block_weights(self.variables["params"])
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return fused_serial_block(
+                x.astype(self.dtype), weights, self.num_heads, interpret
+            )
+        impl = self.implementation
+        if impl == "xla":
+            impl = "einsum"
+        elif impl in ("attn", "fused"):
+            impl = None  # auto: fused attention kernel on TPU
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
         h = Attention(
             self.num_heads,
             dtype=self.dtype,
-            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            implementation=impl,
             name="self_attention",
         )(h)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)

@@ -37,6 +37,9 @@ __all__ = [
     "fused_vit_block",
     "vit_block_weights",
     "reference_vit_block",
+    "fused_serial_block",
+    "serial_block_weights",
+    "reference_serial_block",
 ]
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default (the rebuild's LN epsilon)
@@ -261,19 +264,13 @@ def _vit_attn_chunk(S: int, num_heads: int) -> int:
     return ch
 
 
-def _vit_attn_half_kernel(num_heads, head_dim, chunk, has_pos, *refs):
-    if has_pos:
-        x_ref, pos_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
-    else:
-        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
+def _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt):
+    """Head-chunked two-pass MHA over a packed VMEM qkv tile: all of a
+    chunk's QK^T matmuls into the f32 scratch → one vectorized softmax → the
+    chunk's PV matmuls into ``att_ref``. The measured MXU/VPU pipelining win
+    (ops/pallas_attention.py)."""
     E = num_heads * head_dim
-    dt = x_ref.dtype
     scale = head_dim**-0.5
-    x = x_ref[0]  # (S, E)
-    if has_pos:
-        x = x + pos_ref[0]  # compute-dtype add, matching the model's x + pos
-    h = _ln(x.astype(jnp.float32), g1[...], b1[...]).astype(dt)
-    qkv = (_dot(h, wqkv[...]) + bqkv[...]).astype(dt)  # (S, 3E), VMEM-only
     for c in range(0, num_heads, chunk):
         for j in range(chunk):
             hd = c + j
@@ -295,6 +292,20 @@ def _vit_attn_half_kernel(num_heads, head_dim, chunk, has_pos, *refs):
             att_ref[:, hd * head_dim : (hd + 1) * head_dim] = jnp.dot(
                 p[j], v, preferred_element_type=jnp.float32
             ).astype(dt)
+
+
+def _vit_attn_half_kernel(num_heads, head_dim, chunk, has_pos, *refs):
+    if has_pos:
+        x_ref, pos_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
+    else:
+        x_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref = refs
+    dt = x_ref.dtype
+    x = x_ref[0]  # (S, E)
+    if has_pos:
+        x = x + pos_ref[0]  # compute-dtype add, matching the model's x + pos
+    h = _ln(x.astype(jnp.float32), g1[...], b1[...]).astype(dt)
+    qkv = (_dot(h, wqkv[...]) + bqkv[...]).astype(dt)  # (S, 3E), VMEM-only
+    _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt)
     res = _dot(att_ref[...], wproj[...]) + bproj[...]
     o_ref[0] = (x.astype(jnp.float32) + res).astype(o_ref.dtype)
 
@@ -428,6 +439,174 @@ def vit_block_weights(params):
         p["norm2"]["scale"], p["norm2"]["bias"],
         p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
         p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused serial-adapter ViT block (renderer classifier path,
+# apf_utils.py:328-375 / nn/vit.py::SerialAdapterBlock):
+#
+#     attn half:  y  = proj(MHA(qkv(LN1(x))));  x1  = x  + y + up1(gelu(dn1(y)))
+#     mlp half:   m  = fc2(gelu(fc1(LN2(x1)))); out = x1 + m + up2(gelu(dn2(m)))
+#
+# (each SimpleAdapter is residual: a(y) = y + up(gelu(down(y))).) At the
+# renderer shape (B·V, S=197, E=768, H=12) the full-head (12, S, S) f32
+# logits scratch is 1.86 MB — the two-pass schedule runs un-chunked.
+# ---------------------------------------------------------------------------
+
+
+def _serial_attn_half_kernel(
+    num_heads, head_dim, chunk,
+    x_ref, g1, b1, wqkv, bqkv, wproj, bproj, wd1, bd1, wu1, bu1,
+    o_ref, lg_ref, att_ref,
+):
+    dt = x_ref.dtype
+    x = x_ref[0]  # (S, E)
+    h = _ln(x.astype(jnp.float32), g1[...], b1[...]).astype(dt)
+    qkv = (_dot(h, wqkv[...]) + bqkv[...]).astype(dt)  # (S, 3E), VMEM-only
+    _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt)
+    y = _dot(att_ref[...], wproj[...]) + bproj[...]  # (S, E) f32
+    ydt = y.astype(dt)
+    a = _dot(_gelu_exact(_dot(ydt, wd1[...]) + bd1[...]).astype(dt), wu1[...]) + bu1[...]
+    o_ref[0] = (x.astype(jnp.float32) + y + a).astype(o_ref.dtype)
+
+
+def _serial_mlp_half_kernel(
+    x_ref, g2, b2, wfc1, bfc1, wfc2, bfc2, wd2, bd2, wu2, bu2, o_ref
+):
+    dt = x_ref.dtype
+    x1f = x_ref[0].astype(jnp.float32)  # (S, E)
+    h = _ln(x1f, g2[...], b2[...]).astype(dt)
+    h = _gelu_exact(_dot(h, wfc1[...]) + bfc1[...]).astype(dt)  # (S, hidden)
+    m = _dot(h, wfc2[...]) + bfc2[...]  # (S, E) f32
+    mdt = m.astype(dt)
+    a = _dot(_gelu_exact(_dot(mdt, wd2[...]) + bd2[...]).astype(dt), wu2[...]) + bu2[...]
+    o_ref[0] = (x1f + m + a).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _serial_block_pallas(x, weights, num_heads: int, *, interpret: bool = False):
+    B, S, E = x.shape
+    D = E // num_heads
+    dt = x.dtype
+    (g1, b1, wqkv, bqkv, wproj, bproj, wd1, bd1, wu1, bu1,
+     g2, b2, wfc1, bfc1, wfc2, bfc2, wd2, bd2, wu2, bu2) = weights
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    mat = lambda v: v.astype(dt)
+    chunk = _vit_attn_chunk(S, num_heads)
+
+    attn_in = [
+        mat(x), row(g1), row(b1), mat(wqkv), row(bqkv), mat(wproj), row(bproj),
+        mat(wd1), row(bd1), mat(wu1), row(bu1),
+    ]
+    attn_specs = [
+        pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ] + [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in attn_in[1:]
+    ]
+    x1 = pl.pallas_call(
+        functools.partial(_serial_attn_half_kernel, num_heads, D, chunk),
+        grid=(B,),
+        in_specs=attn_specs,
+        out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), dt),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, S, S), jnp.float32),
+            pltpu.VMEM((S, E), dt),
+        ],
+        interpret=interpret,
+    )(*attn_in)
+
+    mlp_in = [
+        x1, row(g2), row(b2), mat(wfc1), row(bfc1), mat(wfc2), row(bfc2),
+        mat(wd2), row(bd2), mat(wu2), row(bu2),
+    ]
+    mlp_specs = [
+        pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ] + [
+        pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for t in mlp_in[1:]
+    ]
+    return pl.pallas_call(
+        _serial_mlp_half_kernel,
+        grid=(B,),
+        in_specs=mlp_specs,
+        out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), dt),
+        interpret=interpret,
+    )(*mlp_in)
+
+
+def reference_serial_block(x, weights, num_heads: int):
+    """jnp equivalent — backward recompute and interpret oracle. Mirrors
+    SerialAdapterBlock's XLA inference math exactly."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, wd1, bd1, wu1, bu1,
+     g2, b2, wfc1, bfc1, wfc2, bfc2, wd2, bd2, wu2, bu2) = weights
+    B, S, E = x.shape
+    dt = x.dtype
+    c = lambda v: v.astype(dt)
+
+    def ln(t, g, b):
+        return _ln(
+            t.astype(jnp.float32), g.astype(jnp.float32), b.astype(jnp.float32)
+        ).astype(dt)
+
+    def adapter(y, wd, bd, wu, bu):
+        h = jax.nn.gelu(y @ c(wd) + c(bd), approximate=False)
+        return y + (h @ c(wu) + c(bu))
+
+    h = ln(x, g1, b1)
+    qkv = h @ c(wqkv) + c(bqkv)
+    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
+    y = att @ c(wproj) + c(bproj)
+    x1 = x + adapter(y, wd1, bd1, wu1, bu1)
+
+    h = ln(x1, g2, b2)
+    h = jax.nn.gelu(h @ c(wfc1) + c(bfc1), approximate=False)
+    m = h @ c(wfc2) + c(bfc2)
+    return x1 + adapter(m, wd2, bd2, wu2, bu2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_serial_block(x, weights, num_heads: int, interpret: bool = False):
+    """Whole serial-adapter ViT block (inference), fused as two Pallas
+    kernels; x: (B, S, E) → (B, S, E)."""
+    return _serial_block_pallas(x, tuple(weights), num_heads, interpret=interpret)
+
+
+def _fsb_fwd(x, weights, num_heads, interpret):
+    out = _serial_block_pallas(x, tuple(weights), num_heads, interpret=interpret)
+    return out, (x, tuple(weights))
+
+
+def _fsb_bwd(num_heads, interpret, res, g):
+    x, weights = res
+    _, vjp = jax.vjp(lambda t, w: reference_serial_block(t, w, num_heads), x, weights)
+    return vjp(g)
+
+
+fused_serial_block.defvjp(_fsb_fwd, _fsb_bwd)
+
+
+def serial_block_weights(params):
+    """Flatten a SerialAdapterBlock param subtree into the kernel 20-tuple."""
+    p = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    return (
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["self_attention"]["qkv"]["kernel"], p["self_attention"]["qkv"]["bias"],
+        p["self_attention"]["proj"]["kernel"], p["self_attention"]["proj"]["bias"],
+        p["adapter1"]["down_proj"]["kernel"], p["adapter1"]["down_proj"]["bias"],
+        p["adapter1"]["up_proj"]["kernel"], p["adapter1"]["up_proj"]["bias"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+        p["adapter2"]["down_proj"]["kernel"], p["adapter2"]["down_proj"]["bias"],
+        p["adapter2"]["up_proj"]["kernel"], p["adapter2"]["up_proj"]["bias"],
     )
 
 

@@ -84,6 +84,15 @@ class TestFusedSelection:
             variables
         )._fused_ok(True)
 
+    def test_serial_block_selects_fused(self):
+        from pointvit_tpu.nn.vit import SerialAdapterBlock
+
+        blk = SerialAdapterBlock(num_heads=4, dtype=jnp.bfloat16)
+        x = jnp.zeros((2, 8, 64))
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        assert blk.bind(variables)._fused_ok(True)
+        assert not blk.bind(variables)._fused_ok(False)  # training
+
 
 class TestFusedEqualsXLAOnDevice:
     """fused vs implementation='xla' at real (scaled-down-batch) shapes,
@@ -129,6 +138,35 @@ class TestFusedEqualsXLAOnDevice:
         out_xla = jax.jit(
             lambda v, t, p: ref.apply(v, t, pos=p, deterministic=True)
         )(variables, x, pos)
+        np.testing.assert_allclose(
+            np.asarray(out_fused, np.float32),
+            np.asarray(out_xla, np.float32),
+            atol=0.15, rtol=0.05,  # bf16 accumulation-order differences
+        )
+
+    def test_serial_block_fused_matches_xla_at_renderer_geometry(self):
+        """Fused serial-adapter block vs forced-XLA at the renderer ViT-B
+        shape (S=197, E=768, H=12), executed on the chip."""
+        from pointvit_tpu.nn.vit import SerialAdapterBlock
+
+        S, E, H = 197, 768, 12
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, S, E), jnp.bfloat16)
+        blk = SerialAdapterBlock(H, dtype=jnp.bfloat16)
+        variables = blk.init({"params": jax.random.PRNGKey(2)}, x)
+        p = jax.tree.map(lambda a: a, variables["params"])
+        for name in ("adapter1", "adapter2"):  # zero-init up_proj → non-trivial
+            p[name]["up_proj"]["kernel"] = 0.05 * jax.random.normal(
+                jax.random.PRNGKey(3), p[name]["up_proj"]["kernel"].shape
+            )
+        variables = {"params": p}
+        ref = SerialAdapterBlock(H, dtype=jnp.bfloat16, implementation="xla")
+
+        out_fused = jax.jit(lambda v, t: blk.apply(v, t, deterministic=True))(
+            variables, x
+        )
+        out_xla = jax.jit(lambda v, t: ref.apply(v, t, deterministic=True))(
+            variables, x
+        )
         np.testing.assert_allclose(
             np.asarray(out_fused, np.float32),
             np.asarray(out_xla, np.float32),

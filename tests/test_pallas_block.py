@@ -4,13 +4,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pointvit_tpu.nn.vit import APFBlock, ViTBlock
+from pointvit_tpu.nn.vit import APFBlock, SerialAdapterBlock, ViTBlock
 from pointvit_tpu.ops.pallas_block import (
     apf_block_weights,
     fused_apf_block,
+    fused_serial_block,
     fused_vit_block,
     reference_apf_block,
+    reference_serial_block,
     reference_vit_block,
+    serial_block_weights,
     vit_block_weights,
 )
 
@@ -134,6 +137,61 @@ def test_vit_training_mode_keeps_xla_path():
     out_xla = ViTBlock(H, dropout_rate=0.3, implementation="xla").apply(
         variables, x, pos=pos, deterministic=False, rngs=rngs
     )
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla))
+
+
+def _init_serial_block(seed=0):
+    block = SerialAdapterBlock(H, adapter_bottleneck=16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(seed), (B, S, E), jnp.float32)
+    variables = block.init({"params": jax.random.PRNGKey(1)}, x)
+    # non-trivial adapters (reference zero-inits the up projections)
+    p = jax.tree.map(lambda a: a, variables["params"])
+    for name in ("adapter1", "adapter2"):
+        p[name]["up_proj"]["kernel"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(seed + 10), p[name]["up_proj"]["kernel"].shape
+        )
+    return {"params": p}, x
+
+
+def test_fused_serial_block_matches_xla_inference():
+    variables, x = _init_serial_block()
+    with jax.default_matmul_precision("highest"):
+        want = SerialAdapterBlock(H, adapter_bottleneck=16, implementation="xla").apply(
+            variables, x, deterministic=True
+        )
+        got = SerialAdapterBlock(H, adapter_bottleneck=16, implementation="fused").apply(
+            variables, x, deterministic=True
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_serial_kernel_matches_reference_impl():
+    variables, x = _init_serial_block(seed=3)
+    w = serial_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        got = fused_serial_block(x, w, H, True)
+        want = reference_serial_block(x, w, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_gradients_flow_through_fused_serial_block():
+    variables, x = _init_serial_block(seed=5)
+    w = serial_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.grad(lambda t: jnp.sum(fused_serial_block(t, w, H, True) ** 2))(x)
+        g_ref = jax.grad(lambda t: jnp.sum(reference_serial_block(t, w, H) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_serial_training_mode_keeps_xla_path():
+    variables, x = _init_serial_block(seed=7)
+    rngs = {"dropout": jax.random.PRNGKey(9)}
+    out_auto = SerialAdapterBlock(H, adapter_bottleneck=16, dropout_rate=0.3).apply(
+        variables, x, deterministic=False, rngs=rngs
+    )
+    out_xla = SerialAdapterBlock(
+        H, adapter_bottleneck=16, dropout_rate=0.3, implementation="xla"
+    ).apply(variables, x, deterministic=False, rngs=rngs)
     np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla))
 
 
