@@ -35,6 +35,50 @@ from pointvit_tpu.nn.layers import (
 __all__ = ["ViTBlock", "APFBlock", "SerialAdapterBlock", "ImageViT"]
 
 
+def _fused_block_ok(
+    module: nn.Module, x: jax.Array, deterministic: bool, gate_param: str,
+    config_ok: bool,
+) -> bool:
+    """Dispatch predicate for the fused whole-block kernels, shared by the
+    three block flavours. ``config_ok`` is the block's static-config support
+    (mlp_ratio / quantization); shape support (E % num_heads, head_dim
+    alignment, the VMEM logits-scratch bound on S) comes from
+    :func:`pointvit_tpu.ops.pallas_block.fused_block_shapes_ok`.
+
+    ``implementation='fused'`` demands a supported configuration — an
+    unsupported one raises rather than silently measuring the XLA path — but
+    stochastic (training) calls still take the XLA path, the only one with
+    dropout/drop-path.
+    """
+    impl = module.implementation
+    if impl in ("xla", "attn"):
+        return False
+    from pointvit_tpu.ops.pallas_block import fused_block_shapes_ok
+
+    supported = config_ok and fused_block_shapes_ok(
+        x.shape[-2], x.shape[-1], module.num_heads
+    )
+    if impl == "fused" and not supported:
+        raise ValueError(
+            f"{type(module).__name__}(implementation='fused') does not support "
+            f"this configuration (x.shape={x.shape}, num_heads="
+            f"{module.num_heads}): the fused block kernels require "
+            "E % num_heads == 0, head_dim % 8 == 0, S <= 1024, the default "
+            "mlp_ratio 4.0, and quantized=False. Use implementation=None "
+            "(auto) or 'attn'/'xla' instead."
+        )
+    if not supported or not deterministic:
+        return False
+    if module.is_initializing() or not module.has_variable("params", gate_param):
+        return False
+    if impl == "fused":
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class ViTBlock(nn.Module):
     """Standard pre-norm transformer block (timm layout: norm1/attn/norm2/mlp).
 
@@ -44,8 +88,10 @@ class ViTBlock(nn.Module):
 
     ``implementation``: None = auto (whole-block fused Pallas kernels for TPU
     inference, XLA + fused attention otherwise); 'fused' forces the fused
-    block; 'attn' keeps the block glue in XLA with only the attention fused;
-    'xla' forces the einsum attention path (no Pallas anywhere).
+    block for deterministic calls (raises on an unsupported config, falls
+    back to XLA only for stochastic training calls); 'attn' keeps the block
+    glue in XLA with only the attention fused; 'xla' forces the einsum
+    attention path (no Pallas anywhere).
     """
 
     num_heads: int
@@ -54,20 +100,6 @@ class ViTBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     implementation: str | None = None
-
-    def _fused_ok(self, deterministic: bool) -> bool:
-        if self.implementation in ("xla", "attn") or not deterministic:
-            return False
-        if self.mlp_ratio != 4.0:
-            return False  # kernel oracle-tested at the timm 4·dim hidden only
-        if self.is_initializing() or not self.has_variable("params", "norm1"):
-            return False
-        if self.implementation == "fused":
-            return True
-        try:
-            return jax.default_backend() in ("tpu", "axon")
-        except Exception:
-            return False
 
     @nn.compact
     def __call__(
@@ -78,7 +110,8 @@ class ViTBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         dim = x.shape[-1]
-        if self._fused_ok(deterministic):
+        # The kernel is oracle-tested at the timm 4·dim hidden only.
+        if _fused_block_ok(self, x, deterministic, "norm1", self.mlp_ratio == 4.0):
             # Inference: the whole block runs as two Pallas kernels — the
             # pos re-add, LayerNorms, and residuals never round-trip HBM
             # (ops/pallas_block.py::fused_vit_block).
@@ -137,25 +170,15 @@ class APFBlock(nn.Module):
     dropout_rate: float = 0.1
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
-    # None = auto (two fused Pallas kernels on TPU inference), 'fused'/'xla'.
+    # None = auto (two fused Pallas kernels on TPU inference); 'fused' forces
+    # them for deterministic calls (raises on an unsupported config); 'xla'
+    # disables Pallas entirely.
     implementation: str | None = None
-
-    def _fused_ok(self, deterministic: bool) -> bool:
-        if self.implementation == "xla" or not deterministic or self.quantized:
-            return False
-        if self.is_initializing() or not self.has_variable("params", "norm1"):
-            return False
-        if self.implementation == "fused":
-            return True
-        try:
-            return jax.default_backend() in ("tpu", "axon")
-        except Exception:
-            return False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
-        if self._fused_ok(deterministic):
+        if _fused_block_ok(self, x, deterministic, "norm1", not self.quantized):
             # Inference: the whole block runs as two Pallas kernels (attn
             # half / mlp+adapter half) — LayerNorms, residuals, and the
             # adapter glue never round-trip HBM (ops/pallas_block.py).
@@ -169,15 +192,20 @@ class APFBlock(nn.Module):
             return fused_apf_block(
                 x.astype(self.dtype), weights, self.num_heads, interpret
             )
+        impl = self.implementation
+        if impl == "xla":
+            # Block-level 'xla' means no Pallas anywhere: route the
+            # contraction to the einsum reference formulation (which IS the
+            # XLA path).
+            impl = "einsum"
+        elif impl in ("attn", "fused"):
+            impl = None  # auto: fused attention fwd + flash-style bwd on TPU
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(
             self.num_heads,
             dtype=self.dtype,
             quantized=self.quantized,
-            # Block-level 'xla' means no Pallas anywhere: route the
-            # contraction to the einsum reference formulation (which IS the
-            # XLA path); None stays auto (fused fwd + flash-style bwd on TPU).
-            implementation="einsum" if self.implementation == "xla" else self.implementation,
+            implementation=impl,
             name="attention",
         )(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
@@ -216,28 +244,16 @@ class SerialAdapterBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     # None = auto (whole-block fused kernels for TPU inference); 'fused'
-    # forces them; 'attn' keeps the glue in XLA with only the attention
-    # fused; 'xla' forces the einsum path (no Pallas).
+    # forces them for deterministic calls (raises on an unsupported config);
+    # 'attn' keeps the glue in XLA with only the attention fused; 'xla'
+    # forces the einsum path (no Pallas).
     implementation: str | None = None
-
-    def _fused_ok(self, deterministic: bool) -> bool:
-        if self.implementation in ("xla", "attn") or not deterministic:
-            return False
-        if self.mlp_ratio != 4.0:
-            return False  # kernel oracle-tested at the torchvision 4·dim hidden
-        if self.is_initializing() or not self.has_variable("params", "ln_1"):
-            return False
-        if self.implementation == "fused":
-            return True
-        try:
-            return jax.default_backend() in ("tpu", "axon")
-        except Exception:
-            return False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
-        if self._fused_ok(deterministic):
+        # The kernel is oracle-tested at the torchvision 4·dim hidden only.
+        if _fused_block_ok(self, x, deterministic, "ln_1", self.mlp_ratio == 4.0):
             # Inference: the whole block runs as two Pallas kernels — LNs,
             # residuals, and both serial adapters never round-trip HBM
             # (ops/pallas_block.py::fused_serial_block).

@@ -1,11 +1,18 @@
-"""Pallas TPU kernels: a whole APF ViT block as two fused kernels.
+"""Pallas TPU kernels: whole ViT blocks as two fused kernels each.
 
-Rebuilds the inference path of the reference ``APFViTLayer``
-(apf_utils.py:236-293) — including its double-counted residual — as two
-kernels per block:
+Three block flavours, one file — they share the LN/GELU/two-pass-attention
+machinery below. Each rebuilds the inference path of a reference block as an
+attention-half kernel and an MLP-half kernel:
 
-    attn half:  x1  = x + proj(MHA(qkv(LN1(x))))
-    mlp half:   out = fc2(gelu(fc1(LN2(x1)))) + s·up(relu(down(LNa(x1)))) + 2·x1
+- :func:`fused_apf_block` — the reference ``APFViTLayer``
+  (apf_utils.py:236-293), including its double-counted residual:
+  ``x1 = x + proj(MHA(qkv(LN1(x))))``;
+  ``out = fc2(gelu(fc1(LN2(x1)))) + s·up(relu(down(LNa(x1)))) + 2·x1``.
+- :func:`fused_vit_block` — the standard pre-norm timm block used by
+  Pix4Point's trunk (pix4point.py:254-255), with the per-block positional
+  re-add folded into the attention half.
+- :func:`fused_serial_block` — the torchvision encoder block with serial
+  adapters (apf_utils.py:328-375) used per-view by the renderer classifier.
 
 Why: at the bench shape (B256, S197, E768) the XLA path pays ~6 separate
 HBM passes per block for LayerNorms/residuals/adapter glue (~77 MB
@@ -75,35 +82,90 @@ def _dot(a, b):
     )
 
 
+_VIT_ATTN_SCRATCH_BUDGET = 4 * 2**20  # f32 logits scratch bytes (per grid step)
+
+
+def _vit_attn_chunk(S: int, num_heads: int) -> int:
+    """Heads per two-pass chunk whose (ch, S, S) f32 scratch fits the budget
+    (always ≥ 1: a single head's logits tile is the kernel's working set)."""
+    ch = min(num_heads, max(1, _VIT_ATTN_SCRATCH_BUDGET // (S * S * 4)))
+    while ch > 1 and num_heads % ch:
+        ch -= 1
+    return ch
+
+
+def fused_block_shapes_ok(S: int, E: int, num_heads: int) -> bool:
+    """Shapes the fused block kernels support (the auto-dispatch gate).
+
+    ``E % num_heads == 0`` is a correctness requirement: the kernels slice a
+    packed (S, 3E) qkv tile at head_dim boundaries, so a non-dividing head
+    count would silently mis-slice (the XLA path raises on its reshape
+    instead). The S bound keeps even the single-head (1, S, S) f32 logits
+    scratch within the per-step VMEM budget; the head_dim alignment keeps the
+    lane-dimension qkv slices on boundaries Mosaic handles well (all shipped
+    models use D = 64)."""
+    if E % num_heads:
+        return False
+    head_dim = E // num_heads
+    return head_dim % 8 == 0 and S * S * 4 <= _VIT_ATTN_SCRATCH_BUDGET
+
+
+def _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt):
+    """Head-chunked two-pass MHA over a packed VMEM qkv tile: all of a
+    chunk's QK^T matmuls into the f32 scratch → one vectorized softmax → the
+    chunk's PV matmuls into ``att_ref``. The measured MXU/VPU pipelining win
+    (ops/pallas_attention.py)."""
+    E = num_heads * head_dim
+    scale = head_dim**-0.5
+    for c in range(0, num_heads, chunk):
+        for j in range(chunk):
+            hd = c + j
+            q = qkv[:, hd * head_dim : (hd + 1) * head_dim]
+            k = qkv[:, E + hd * head_dim : E + (hd + 1) * head_dim]
+            lg_ref[j] = (
+                lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )
+        lg = lg_ref[...]
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        p = jnp.exp(lg - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+        for j in range(chunk):
+            hd = c + j
+            v = qkv[:, 2 * E + hd * head_dim : 2 * E + (hd + 1) * head_dim]
+            att_ref[:, hd * head_dim : (hd + 1) * head_dim] = jnp.dot(
+                p[j], v, preferred_element_type=jnp.float32
+            ).astype(dt)
+
+
+def _reference_mha(x, wqkv, bqkv, wproj, bproj, num_heads: int):
+    """Shared einsum MHA oracle (compute-dtype matmuls, f32 softmax):
+    ``proj(MHA(qkv(x)))``. The single source of truth the three
+    ``reference_*_block`` functions build on — keep any precision/tolerance
+    fix here so the interpret oracles cannot diverge from each other."""
+    B, S, E = x.shape
+    dt = x.dtype
+    c = lambda v: v.astype(dt)
+    qkv = x @ c(wqkv) + c(bqkv)
+    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
+    return att @ c(wproj) + c(bproj)
+
+
 def _attn_half_kernel(
-    num_heads, head_dim,
+    num_heads, head_dim, chunk,
     x_ref, g1, b1, wqkv, bqkv, wproj, bproj, o_ref, lg_ref, att_ref,
 ):
-    S = x_ref.shape[1]
-    E = num_heads * head_dim
     dt = x_ref.dtype
-    scale = head_dim**-0.5
     x = x_ref[0]  # (S, E)
     h = _ln(x.astype(jnp.float32), g1[...], b1[...]).astype(dt)
     qkv = (_dot(h, wqkv[...]) + bqkv[...]).astype(dt)  # (S, 3E)
-    for hd in range(num_heads):
-        q = qkv[:, hd * head_dim : (hd + 1) * head_dim]
-        k = qkv[:, E + hd * head_dim : E + (hd + 1) * head_dim]
-        lg_ref[hd] = (
-            lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
-        )
-    lg = lg_ref[...]
-    m = jnp.max(lg, axis=-1, keepdims=True)
-    p = jnp.exp(lg - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
-    for hd in range(num_heads):
-        v = qkv[:, 2 * E + hd * head_dim : 2 * E + (hd + 1) * head_dim]
-        att_ref[:, hd * head_dim : (hd + 1) * head_dim] = jnp.dot(
-            p[hd], v, preferred_element_type=jnp.float32
-        ).astype(dt)
+    _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt)
     res = _dot(att_ref[...], wproj[...]) + bproj[...]
     o_ref[0] = (x.astype(jnp.float32) + res).astype(o_ref.dtype)
 
@@ -141,6 +203,7 @@ def _apf_block_pallas(x, weights, num_heads: int, *, interpret: bool = False):
      ga, ba, wdn, bdn, wup, bup, ascale) = weights
     row = lambda v: v.reshape(1, -1).astype(dt)
     mat = lambda v: v.astype(dt)
+    chunk = _vit_attn_chunk(S, num_heads)
 
     attn_in = [mat(x), row(g1), row(b1), mat(wqkv), row(bqkv), mat(wproj), row(bproj)]
     attn_specs = [
@@ -150,13 +213,13 @@ def _apf_block_pallas(x, weights, num_heads: int, *, interpret: bool = False):
         for t in attn_in[1:]
     ]
     x1 = pl.pallas_call(
-        functools.partial(_attn_half_kernel, num_heads, D),
+        functools.partial(_attn_half_kernel, num_heads, D, chunk),
         grid=(B,),
         in_specs=attn_specs,
         out_specs=pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, E), dt),
         scratch_shapes=[
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((chunk, S, S), jnp.float32),
             pltpu.VMEM((S, E), dt),
         ],
         interpret=interpret,
@@ -190,7 +253,6 @@ def reference_apf_block(x, weights, num_heads: int):
     (g1, b1, wqkv, bqkv, wproj, bproj,
      g2, b2, wfc1, bfc1, wfc2, bfc2,
      ga, ba, wdn, bdn, wup, bup, ascale) = weights
-    B, S, E = x.shape
     dt = x.dtype
     c = lambda v: v.astype(dt)
 
@@ -198,13 +260,7 @@ def reference_apf_block(x, weights, num_heads: int):
         return _ln(t.astype(jnp.float32), g.astype(jnp.float32), b.astype(jnp.float32)).astype(dt)
 
     h = ln(x, g1, b1)
-    qkv = h @ c(wqkv) + c(bqkv)
-    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
-    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
-    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
-    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
-    x1 = x + (att @ c(wproj) + c(bproj))
+    x1 = x + _reference_mha(h, wqkv, bqkv, wproj, bproj, num_heads)
 
     h = ln(x1, g2, b2)
     h = jax.nn.gelu(h @ c(wfc1) + c(bfc1), approximate=False)
@@ -252,47 +308,6 @@ fused_apf_block.defvjp(_fab_fwd, _fab_bwd)
 # measured MXU/VPU pipelining rationale).
 # ---------------------------------------------------------------------------
 
-_VIT_ATTN_SCRATCH_BUDGET = 4 * 2**20  # f32 logits scratch bytes (per grid step)
-
-
-def _vit_attn_chunk(S: int, num_heads: int) -> int:
-    """Heads per two-pass chunk whose (ch, S, S) f32 scratch fits the budget
-    (always ≥ 1: a single head's logits tile is the kernel's working set)."""
-    ch = min(num_heads, max(1, _VIT_ATTN_SCRATCH_BUDGET // (S * S * 4)))
-    while ch > 1 and num_heads % ch:
-        ch -= 1
-    return ch
-
-
-def _attn_two_pass(qkv, num_heads, head_dim, chunk, lg_ref, att_ref, dt):
-    """Head-chunked two-pass MHA over a packed VMEM qkv tile: all of a
-    chunk's QK^T matmuls into the f32 scratch → one vectorized softmax → the
-    chunk's PV matmuls into ``att_ref``. The measured MXU/VPU pipelining win
-    (ops/pallas_attention.py)."""
-    E = num_heads * head_dim
-    scale = head_dim**-0.5
-    for c in range(0, num_heads, chunk):
-        for j in range(chunk):
-            hd = c + j
-            q = qkv[:, hd * head_dim : (hd + 1) * head_dim]
-            k = qkv[:, E + hd * head_dim : E + (hd + 1) * head_dim]
-            lg_ref[j] = (
-                lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                * scale
-            )
-        lg = lg_ref[...]
-        m = jnp.max(lg, axis=-1, keepdims=True)
-        p = jnp.exp(lg - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
-        for j in range(chunk):
-            hd = c + j
-            v = qkv[:, 2 * E + hd * head_dim : 2 * E + (hd + 1) * head_dim]
-            att_ref[:, hd * head_dim : (hd + 1) * head_dim] = jnp.dot(
-                p[j], v, preferred_element_type=jnp.float32
-            ).astype(dt)
-
 
 def _vit_attn_half_kernel(num_heads, head_dim, chunk, has_pos, *refs):
     if has_pos:
@@ -333,10 +348,22 @@ def _vit_block_pallas(x, weights, num_heads: int, pos=None, *, interpret: bool =
     attn_in = [mat(x)]
     attn_specs = [pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
     if has_pos:
-        attn_in.append(jnp.broadcast_to(pos.astype(dt), (B, S, E)))
-        attn_specs.append(
-            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-        )
+        p = pos.astype(dt)
+        if p.ndim == 2:
+            p = p[None]
+        if p.shape[0] == 1:
+            # Shared positional embedding: keep ONE (1, S, E) copy in HBM and
+            # stream the same tile to every grid step via a constant-index
+            # BlockSpec — broadcast_to here would re-read B copies per block.
+            attn_in.append(jnp.broadcast_to(p, (1, S, E)))
+            attn_specs.append(
+                pl.BlockSpec((1, S, E), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            attn_in.append(jnp.broadcast_to(p, (B, S, E)))
+            attn_specs.append(
+                pl.BlockSpec((1, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
     attn_in += [row(g1), row(b1), mat(wqkv), row(bqkv), mat(wproj), row(bproj)]
     attn_specs += [
         pl.BlockSpec(t.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
@@ -376,7 +403,6 @@ def reference_vit_block(x, weights, num_heads: int, pos=None):
     """jnp equivalent (compute-dtype matmuls, f32 LN stats) — backward
     recompute and interpret oracle. Mirrors ViTBlock's XLA inference math."""
     g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2 = weights
-    B, S, E = x.shape
     dt = x.dtype
     c = lambda v: v.astype(dt)
 
@@ -388,13 +414,7 @@ def reference_vit_block(x, weights, num_heads: int, pos=None):
     if pos is not None:
         x = x + pos.astype(dt)
     h = ln(x, g1, b1)
-    qkv = h @ c(wqkv) + c(bqkv)
-    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
-    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
-    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
-    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
-    x1 = x + (att @ c(wproj) + c(bproj))
+    x1 = x + _reference_mha(h, wqkv, bqkv, wproj, bproj, num_heads)
 
     h = ln(x1, g2, b2)
     h = jax.nn.gelu(h @ c(wfc1) + c(bfc1), approximate=False)
@@ -543,7 +563,6 @@ def reference_serial_block(x, weights, num_heads: int):
     SerialAdapterBlock's XLA inference math exactly."""
     (g1, b1, wqkv, bqkv, wproj, bproj, wd1, bd1, wu1, bu1,
      g2, b2, wfc1, bfc1, wfc2, bfc2, wd2, bd2, wu2, bu2) = weights
-    B, S, E = x.shape
     dt = x.dtype
     c = lambda v: v.astype(dt)
 
@@ -557,13 +576,7 @@ def reference_serial_block(x, weights, num_heads: int):
         return y + (h @ c(wu) + c(bu))
 
     h = ln(x, g1, b1)
-    qkv = h @ c(wqkv) + c(bqkv)
-    r = qkv.reshape(B, S, 3, num_heads, E // num_heads)
-    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
-    logits = jnp.einsum("bshd,bthd->bhst", q, k) * ((E // num_heads) ** -0.5)
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
-    att = jnp.einsum("bhst,bthd->bshd", w, v).reshape(B, S, E)
-    y = att @ c(wproj) + c(bproj)
+    y = _reference_mha(h, wqkv, bqkv, wproj, bproj, num_heads)
     x1 = x + adapter(y, wd1, bd1, wu1, bu1)
 
     h = ln(x1, g2, b2)

@@ -126,6 +126,61 @@ def test_gradients_flow_through_fused_vit_block():
     np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_block_shapes_ok_gate():
+    from pointvit_tpu.ops.pallas_block import fused_block_shapes_ok
+
+    assert fused_block_shapes_ok(197, 768, 12)  # APF / renderer shape
+    assert fused_block_shapes_ok(513, 384, 6)  # Pix4Point shape
+    assert not fused_block_shapes_ok(10, 32, 3)  # E % H != 0 would mis-slice
+    assert not fused_block_shapes_ok(10, 36, 9)  # head_dim 4 unaligned
+    assert not fused_block_shapes_ok(1040, 768, 12)  # logits scratch > budget
+
+
+def test_fused_raises_on_unsupported_config():
+    """implementation='fused' must refuse (not silently run XLA) when the
+    kernels can't support the configuration."""
+    import pytest
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, S, E), jnp.float32)
+    with pytest.raises(ValueError, match="fused"):
+        ViTBlock(3, implementation="fused").init({"params": jax.random.PRNGKey(1)}, x)
+    variables, x, pos = _init_vit_block(seed=11)
+    with pytest.raises(ValueError, match="mlp_ratio"):
+        ViTBlock(H, mlp_ratio=3.0, implementation="fused").apply(
+            variables, x, pos=pos, deterministic=True
+        )
+
+
+def test_fused_training_mode_falls_back_to_xla():
+    """Documented exception to the force: stochastic calls keep the XLA path
+    (the only one with dropout/drop-path) even under implementation='fused'."""
+    variables, x, pos = _init_vit_block(seed=12)
+    rngs = {"dropout": jax.random.PRNGKey(9)}
+    out_fused = ViTBlock(H, dropout_rate=0.3, implementation="fused").apply(
+        variables, x, pos=pos, deterministic=False, rngs=rngs
+    )
+    out_xla = ViTBlock(H, dropout_rate=0.3, implementation="xla").apply(
+        variables, x, pos=pos, deterministic=False, rngs=rngs
+    )
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla))
+
+
+def test_vit_kernel_shared_pos():
+    """A (1, S, E) shared positional embedding (constant-index BlockSpec
+    path) matches the oracle, and its cotangent keeps the (1, S, E) shape."""
+    variables, x, _ = _init_vit_block(seed=13)
+    pos1 = 0.1 * jax.random.normal(jax.random.PRNGKey(14), (1, S, E), jnp.float32)
+    w = vit_block_weights(variables["params"])
+    with jax.default_matmul_precision("highest"):
+        got = fused_vit_block(x, w, H, pos1, True)
+        want = reference_vit_block(x, w, H, pos1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+        gp_f = jax.grad(lambda p: jnp.sum(fused_vit_block(x, w, H, p, True) ** 2))(pos1)
+        gp_r = jax.grad(lambda p: jnp.sum(reference_vit_block(x, w, H, p) ** 2))(pos1)
+    assert gp_f.shape == (1, S, E)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r), rtol=1e-4, atol=1e-4)
+
+
 def test_vit_training_mode_keeps_xla_path():
     """deterministic=False must not take the fused path — outputs must match
     the forced-XLA path exactly under the same rngs."""
