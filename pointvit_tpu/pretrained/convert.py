@@ -48,7 +48,16 @@ def load_state_dict(model_name: str) -> dict[str, np.ndarray] | None:
         sd = torch.load(path, map_location="cpu", weights_only=True)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+        def to_numpy(v):
+            # numpy has no bf16/f16-exotic dtypes; upcast such tensors
+            # (common in hub-downloaded half-precision checkpoints) instead
+            # of letting Tensor.numpy() raise.
+            if v.dtype in (torch.bfloat16, torch.float16):
+                v = v.float()
+            return v.numpy()
+
+        return {k: to_numpy(v) for k, v in sd.items() if hasattr(v, "numpy")}
     warnings.warn(
         f"No cached weights for {model_name!r} under {cache_dir()} — "
         "keeping random initialization (no-egress environment)."

@@ -131,3 +131,86 @@ def test_hf_flows_into_apf_loader(hf_vit):
     np.testing.assert_allclose(
         np.asarray(params["encoder_norm"]["scale"]), sd["layernorm.weight"], rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# File-artifact round trips: the tests above hand the converters an in-memory
+# state dict; these write REAL checkpoint files (torch pickle / safetensors —
+# genuine library serialization, genuine key sets and dtypes) into a weights
+# cache and flow them through ``load_state_dict``'s format-sniffing loader,
+# then validate the full forward numerics from the file.
+# ---------------------------------------------------------------------------
+
+
+def _assert_loads_numerically(hf_vit, model_name):
+    """ImageViT weights loaded from <cache>/<model_name>.<ext> must reproduce
+    the HF forward (same check as the in-memory test, via the file path)."""
+    from pointvit_tpu.nn.vit import ImageViT
+
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+    vit = ImageViT(
+        depth=DEPTH, embed_dim=E, num_heads=HEADS, patch_size=PATCH,
+        adapter_bottleneck=4, dtype=jnp.float32,
+    )
+    variables = vit.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(img))
+    loaded = load_torchvision_vit_weights(
+        {"vit": jax.tree.map(np.asarray, variables["params"])}, model_name
+    )
+    assert loaded is not None
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(vit.apply({"params": loaded["vit"]}, jnp.asarray(img)))
+    with torch.no_grad():
+        expected = (
+            hf_vit(pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)))
+            .last_hidden_state[:, 0]
+            .numpy()
+        )
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-4)
+
+
+def test_torch_pickle_checkpoint_file(hf_vit, tmp_path, monkeypatch):
+    """torch.save artifact → load_state_dict (.pth branch) → full numerics."""
+    from pointvit_tpu.pretrained import load_state_dict
+
+    monkeypatch.setenv("POINTVIT_WEIGHTS", str(tmp_path))
+    torch.save(hf_vit.state_dict(), tmp_path / "hf_vit_pickle.pth")
+    sd = load_state_dict("hf_vit_pickle")
+    assert sd is not None and is_hf_vit_state_dict(sd)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    _assert_loads_numerically(hf_vit, "hf_vit_pickle")
+
+
+def test_safetensors_checkpoint_file(hf_vit, tmp_path, monkeypatch):
+    """safetensors artifact → load_state_dict (.safetensors branch) → numerics."""
+    st = pytest.importorskip("safetensors.torch")
+    from pointvit_tpu.pretrained import load_state_dict
+
+    monkeypatch.setenv("POINTVIT_WEIGHTS", str(tmp_path))
+    st.save_file(
+        {k: v.contiguous() for k, v in hf_vit.state_dict().items()},
+        str(tmp_path / "hf_vit_st.safetensors"),
+    )
+    sd = load_state_dict("hf_vit_st")
+    assert sd is not None and is_hf_vit_state_dict(sd)
+    _assert_loads_numerically(hf_vit, "hf_vit_st")
+
+
+def test_bf16_torch_checkpoint_upcasts(hf_vit, tmp_path, monkeypatch):
+    """Half-precision hub checkpoints load as f32 (Tensor.numpy() would raise
+    on bf16); no tensor may be silently dropped."""
+    from pointvit_tpu.pretrained import load_state_dict
+
+    monkeypatch.setenv("POINTVIT_WEIGHTS", str(tmp_path))
+    full = hf_vit.state_dict()
+    torch.save(
+        {k: v.to(torch.bfloat16) for k, v in full.items()},
+        tmp_path / "hf_vit_bf16.pth",
+    )
+    sd = load_state_dict("hf_vit_bf16")
+    assert sd is not None and set(sd) == set(full)
+    assert all(v.dtype == np.float32 for v in sd.values())
+    np.testing.assert_allclose(
+        sd["layernorm.weight"],
+        full["layernorm.weight"].to(torch.bfloat16).float().numpy(),
+    )
