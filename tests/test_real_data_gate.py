@@ -16,6 +16,11 @@ GATE = os.path.join(REPO, "scripts", "real_data_gate.py")
 def _run(args, **kw):
     env = dict(os.environ)
     env.pop("POINTVIT_WEIGHTS", None)
+    # CPU-only subprocess: drop the axon pool var, or sitecustomize dials the
+    # TPU relay at interpreter startup and, during a tunnel outage, can spin
+    # in its connect-retry loop forever before the gate even starts
+    # (CLAUDE.md "Environment gotchas").
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(kw.pop("env", {}))
     return subprocess.run(
         [sys.executable, GATE, *args],
@@ -70,6 +75,29 @@ def test_check_only_subprocess_with_full_drops(tmp_path):
     r = _run(["--root", root, "--check-only"], env={"POINTVIT_WEIGHTS": weights})
     assert r.returncode == 0, r.stderr + r.stdout
     assert "all drops present" in r.stdout
+
+
+def test_smoke_rehearsal_end_to_end(tmp_path):
+    """Full-chain rehearsal: synthetic-format h5 drops → `--smoke` gate run →
+    all three families train for one tiny epoch → summary.json rows with
+    smoke=true. This is the strongest no-data evidence that the gate will run
+    the day real drops land (accuracy itself is not checked — smoke proves
+    machinery, not parity)."""
+    root, _ = _make_drops(tmp_path)
+    out = tmp_path / "gate_out"
+    r = _run(
+        ["--root", root, "--out", str(out), "--smoke",
+         "--only", "apf_with_height", "--only", "pix4point", "--only", "renderer"],
+        # Single CPU device: pytest's 8-virtual-device XLA_FLAGS must not
+        # leak in (smoke batch_size=2 can't shard over 8 devices).
+        env={"JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-2000:]
+    rows = json.load(open(out / "summary.json"))
+    assert {row["gate"] for row in rows} == {"apf_with_height", "pix4point", "renderer"}
+    assert all(row["smoke"] and row["passed"] for row in rows)
+    for row in rows:
+        assert os.path.exists(os.path.join(row["output_dir"], "training_metrics.csv"))
 
 
 def test_gate_targets_match_runbook():
