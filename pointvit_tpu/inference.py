@@ -14,6 +14,13 @@ The reference has no inference entry beyond ``RendererTrainer.predict``
 
 Batches are padded to a fixed compiled shape (one XLA program regardless of
 request size) and the forward runs in bf16 by default.
+
+For the production engine — sidecar-config checkpoint auto-rebuild, a
+compiled batch-bucket ladder, mesh data parallelism, and request
+micro-batching — see :mod:`pointvit_tpu.serve`; both build models through
+:func:`pointvit_tpu.models.factory.build_model`, the same factory the
+trainers use (serving architecture == training architecture by
+construction).
 """
 
 from __future__ import annotations
@@ -27,53 +34,36 @@ __all__ = ["Classifier"]
 
 _FAMILIES = ("apf", "pix4point", "renderer")
 
+# Reference entry-script defaults (train_*.py config dicts) so callers may
+# pass partial configs; the serving preset note: encoder_second_width is a
+# width-only FLOP cut with accuracy parity measured on synthetic corpora so
+# far (r3 paired-seed instrument, results/parity_r3/summary.json "slim"
+# ACCEPTED, DESIGN.md) — real-data validation pending (RUNBOOK_real_data).
+_FAMILY_DEFAULTS = {
+    "apf": {"in_channels": 3},
+    "pix4point": {
+        "pretrained_model": "vit_small_patch16_384",
+        "k_neighbors": 16,
+        "embed_dim": 384,
+    },
+    "renderer": {
+        "vit_name": "vit_b_16",
+        "adapter_dim": 64,
+        "num_views": 6,
+        "img_size": 224,
+        "dropout_rate": 0.0,
+    },
+}
+
 
 def _build_model(family: str, model_config: dict, dtype):
-    if family == "apf":
-        from pointvit_tpu.models import AdaptPointFormer
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown family {family!r}; expected one of {_FAMILIES}")
+    from pointvit_tpu.models.factory import build_model
 
-        return AdaptPointFormer(
-            num_classes=model_config["num_classes"],
-            in_channels=model_config.get("in_channels", 3),
-            embedding_dim=model_config.get("embedding_dim", 768),
-            npoint=model_config.get("npoint", 196),
-            nsample=model_config.get("nsample", 32),
-            depth=model_config.get("depth", 12),
-            num_heads=model_config.get("num_heads", 12),
-            dtype=dtype,
-            # serving preset (models.apf_serving_preset): width-only FLOP
-            # cut, +20% throughput; accuracy parity measured on synthetic
-            # corpora only so far (r3 paired-seed instrument,
-            # results/parity_r3/summary.json "slim" ACCEPTED, DESIGN.md) —
-            # real-data validation pending (RUNBOOK_real_data)
-            encoder_second_width=model_config.get("encoder_second_width"),
-            quantized=model_config.get("quantized", False),
-        )
-    if family == "pix4point":
-        from pointvit_tpu.models import Pix4Point
-
-        return Pix4Point.from_pretrained_name(
-            model_config.get("pretrained_model", "vit_small_patch16_384"),
-            num_classes=model_config["num_classes"],
-            k_neighbors=model_config.get("k_neighbors", 16),
-            embed_dim=model_config.get("embed_dim", 384),
-            dtype=dtype,
-            **{k: model_config[k] for k in ("depth", "num_heads") if k in model_config},
-        )
-    if family == "renderer":
-        from pointvit_tpu.models import PointCloudRendererClassifier
-
-        return PointCloudRendererClassifier(
-            num_classes=model_config["num_classes"],
-            vit_name=model_config.get("vit_name", "vit_b_16"),
-            adapter_dim=model_config.get("adapter_dim", 64),
-            num_views=model_config.get("num_views", 6),
-            img_size=model_config.get("img_size", 224),
-            diff_renderer=model_config.get("diff_renderer", False),
-            view_transform_hidden=model_config.get("view_transform_hidden", 256),
-            dtype=dtype,
-        )
-    raise ValueError(f"unknown family {family!r}; expected one of {_FAMILIES}")
+    cfg = {**_FAMILY_DEFAULTS[family], **model_config}
+    cfg["bf16"] = dtype == jnp.bfloat16
+    return build_model(cfg, family=family)
 
 
 class Classifier:

@@ -24,7 +24,8 @@ from pointvit_tpu.data.augment import (
     scale_point_cloud,
 )
 from pointvit_tpu.data.scanobjectnn import ScanObjectNN
-from pointvit_tpu.models.apf import AdaptPointFormer, apf_trainable_mask
+from pointvit_tpu.models.apf import apf_trainable_mask
+from pointvit_tpu.models.factory import build_model
 from pointvit_tpu.train.schedules import timm_cosine_schedule
 from pointvit_tpu.train.trainer import Trainer, build_optimizer
 
@@ -83,23 +84,7 @@ class APFTrainer(Trainer):
     ) -> None:
         self._device_hint = device  # informational; JAX selects the backend
 
-        compute_dtype = jnp.bfloat16 if model_config.get("bf16", True) else jnp.float32
-        model = AdaptPointFormer(
-            num_classes=model_config["num_classes"],
-            in_channels=model_config["in_channels"],
-            embedding_dim=model_config.get("embedding_dim", 768),
-            npoint=model_config.get("npoint", 196),
-            nsample=model_config.get("nsample", 32),
-            dropout_rate=model_config.get("dropout_rate", 0.1),
-            dropout_path_rate=model_config.get(
-                "drop_path_rate", model_config.get("dropout_path_rate", 0.1)
-            ),
-            depth=model_config.get("depth", 12),
-            num_heads=model_config.get("num_heads", 12),
-            dtype=compute_dtype,
-            encoder_second_width=model_config.get("encoder_second_width"),
-            remat_encoder=model_config.get("remat_encoder", False),
-        )
+        model = build_model(model_config, family="apf")
 
         train_transforms = [
             scale_point_cloud,

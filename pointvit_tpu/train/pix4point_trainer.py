@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from pointvit_tpu.data.scanobjectnn import ScanObjectNN
-from pointvit_tpu.models.pix4point import Pix4Point, pix4point_trainable_mask
+from pointvit_tpu.models.factory import build_model
+from pointvit_tpu.models.pix4point import pix4point_trainable_mask
 from pointvit_tpu.train.schedules import warmup_then_cosine_schedule
 from pointvit_tpu.train.trainer import Trainer, build_optimizer
 
@@ -56,18 +57,7 @@ class Pix4PointTrainer(Trainer):
     ) -> None:
         self._device_hint = device
 
-        compute_dtype = jnp.bfloat16 if model_config.get("bf16", True) else jnp.float32
-        overrides = {
-            k: model_config[k] for k in ("depth", "num_heads") if k in model_config
-        }
-        model = Pix4Point.from_pretrained_name(
-            model_config["pretrained_model"],
-            num_classes=model_config["num_classes"],
-            k_neighbors=model_config["k_neighbors"],
-            embed_dim=model_config["embed_dim"],
-            dtype=compute_dtype,
-            **overrides,
-        )
+        model = build_model(model_config, family="pix4point")
 
         common = dict(
             root_dir=dataset_config["root_dir"],

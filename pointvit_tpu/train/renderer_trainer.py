@@ -17,10 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointvit_tpu.data.scanobjectnn import ScanObjectNN
-from pointvit_tpu.models.renderer import (
-    PointCloudRendererClassifier,
-    renderer_trainable_mask,
-)
+from pointvit_tpu.models.factory import build_model
+from pointvit_tpu.models.renderer import renderer_trainable_mask
 from pointvit_tpu.train.schedules import cosine_annealing_schedule, constant_schedule
 from pointvit_tpu.train.trainer import Trainer, build_optimizer
 
@@ -41,18 +39,7 @@ class RendererTrainer(Trainer):
     ) -> None:
         self._device_hint = device
 
-        compute_dtype = jnp.bfloat16 if model_config.get("bf16", True) else jnp.float32
-        model = PointCloudRendererClassifier(
-            num_classes=model_config["num_classes"],
-            vit_name=model_config["vit_name"],
-            adapter_dim=model_config["adapter_dim"],
-            num_views=model_config["num_views"],
-            img_size=model_config["img_size"],
-            dropout_rate=model_config["dropout_rate"],
-            diff_renderer=model_config.get("diff_renderer", False),
-            view_transform_hidden=model_config.get("view_transform_hidden", 256),
-            dtype=compute_dtype,
-        )
+        model = build_model(model_config, family="renderer")
 
         common = dict(
             root_dir=dataset_config["root_dir"],
