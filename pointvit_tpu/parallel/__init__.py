@@ -6,6 +6,11 @@ from pointvit_tpu.parallel.pipeline import (
     unstack_block_params,
 )
 from pointvit_tpu.parallel.sequence import ring_mha, ulysses_mha
+from pointvit_tpu.parallel.expert import (
+    init_moe_params,
+    moe_ffn,
+    moe_load_balance_loss,
+)
 from pointvit_tpu.parallel.mesh import (
     batch_shard_map,
     batch_sharding,
@@ -23,6 +28,9 @@ __all__ = [
     "make_hybrid_mesh",
     "make_mesh",
     "make_multihost_mesh",
+    "init_moe_params",
+    "moe_ffn",
+    "moe_load_balance_loss",
     "pipeline_blocks",
     "replicate",
     "ring_mha",
