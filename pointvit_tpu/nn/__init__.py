@@ -8,6 +8,7 @@ from pointvit_tpu.nn.layers import (
     Mlp,
     SimpleAdapter,
 )
+from pointvit_tpu.nn.moe import MoEMlp, MoEViTBlock, collect_moe_aux_loss
 from pointvit_tpu.nn.vit import APFBlock, ImageViT, SerialAdapterBlock, ViTBlock
 from pointvit_tpu.nn.pointnet import GroupFeatureEncoder, P3Embed, PosEmbedMLP
 from pointvit_tpu.nn.heads import ClassificationHead, ClsHead, RendererHead
@@ -18,7 +19,10 @@ __all__ = [
     "DropPath",
     "Identity",
     "Mlp",
+    "MoEMlp",
+    "MoEViTBlock",
     "SimpleAdapter",
+    "collect_moe_aux_loss",
     "APFBlock",
     "ImageViT",
     "SerialAdapterBlock",

@@ -43,7 +43,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["moe_ffn", "init_moe_params", "moe_load_balance_loss"]
+__all__ = [
+    "moe_ffn",
+    "init_moe_params",
+    "moe_load_balance_loss",
+    "upcycle_dense_mlp",
+]
 
 
 def init_moe_params(
@@ -70,7 +75,40 @@ def init_moe_params(
     }
 
 
-def _route(gate_logits: jax.Array, capacity: int, top_k: int):
+def upcycle_dense_mlp(
+    key: jax.Array,
+    fc1_kernel: jax.Array,
+    fc1_bias: jax.Array,
+    fc2_kernel: jax.Array,
+    fc2_bias: jax.Array,
+    num_experts: int,
+    *,
+    router_scale: float = 1e-2,
+) -> dict:
+    """Sparse upcycling: a trained dense MLP becomes E identical experts.
+
+    The warm-start of Komatsuzaki et al. (arXiv:2212.05055): every expert is
+    initialized to the trained fc1/fc2 and the router to small random values
+    (exactly zero would tie-break every token to expert 0 and collapse the
+    balance loss' gradient). With ``moe_ffn(..., normalize_gates=True)`` the
+    upcycled layer reproduces the dense MLP's output *exactly* until the
+    experts diverge — the gates sum to 1 over the top-k picks and every
+    expert computes the same function.
+    """
+    e = num_experts
+    m = fc1_kernel.shape[0]
+    return {
+        "gate": (
+            jax.random.normal(key, (m, e)) * (router_scale / math.sqrt(m))
+        ).astype(fc1_kernel.dtype),
+        "w1": jnp.broadcast_to(fc1_kernel[None], (e, *fc1_kernel.shape)).copy(),
+        "b1": jnp.broadcast_to(fc1_bias[None], (e, *fc1_bias.shape)).copy(),
+        "w2": jnp.broadcast_to(fc2_kernel[None], (e, *fc2_kernel.shape)).copy(),
+        "b2": jnp.broadcast_to(fc2_bias[None], (e, *fc2_bias.shape)).copy(),
+    }
+
+
+def _route(gate_logits: jax.Array, capacity: int, top_k: int, normalize_gates: bool):
     """Top-k routing with per-expert capacity.
 
     gate_logits: (T, E) → dispatch (T, E, C) one-hot, combine (T, E, C)
@@ -90,6 +128,10 @@ def _route(gate_logits: jax.Array, capacity: int, top_k: int):
         masks.append(mask)
         gates.append(jnp.sum(probs * mask, axis=-1))  # (T,) router prob of pick
         remaining = remaining * (1.0 - mask)
+
+    if normalize_gates:
+        denom = sum(gates) + 1e-9
+        gates = [g / denom for g in gates]
 
     # Position-in-expert: one cumsum over the k-major flattened assignments.
     flat = jnp.concatenate(masks, axis=0)  # (K·T, E)
@@ -134,6 +176,7 @@ def moe_ffn(
     data_axis: str | None = None,
     top_k: int = 2,
     capacity_factor: float = 2.0,
+    normalize_gates: bool = False,
     activation=jax.nn.gelu,
 ):
     """Mixture-of-experts FFN; drop-in for a transformer MLP.
@@ -151,6 +194,10 @@ def moe_ffn(
         capacity_factor: per-expert slots = ceil(cf · T · K / E) with T the
             *per-device* token count; tokens over capacity are dropped
             (their FFN delta is zero — callers keep the residual skip).
+        normalize_gates: divide each token's top-k gates by their sum
+            (GShard top-2 convention; required for exact output preservation
+            with :func:`upcycle_dense_mlp`). Default False = Switch
+            convention (raw router probabilities).
 
     Returns:
         (out, aux) — out: (B, S, M) same dtype as x; aux: scalar f32
@@ -171,7 +218,9 @@ def moe_ffn(
         bl = x_blk.shape[0]
         tokens = x_blk.reshape(bl * s, m)
         logits = tokens.astype(jnp.float32) @ p["gate"].astype(jnp.float32)
-        dispatch, combine, f_e, p_e = _route(logits, capacity, top_k)
+        dispatch, combine, f_e, p_e = _route(
+            logits, capacity, top_k, normalize_gates
+        )
         xin = jnp.einsum(
             "tec,tm->ecm", dispatch, tokens.astype(jnp.float32)
         )  # (E, C, M)

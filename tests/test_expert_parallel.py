@@ -13,6 +13,7 @@ import pytest
 from jax.sharding import Mesh
 
 from pointvit_tpu.parallel import init_moe_params, moe_ffn
+from pointvit_tpu.parallel.expert import upcycle_dense_mlp
 
 # Exact-precision matmuls: this CPU backend's default f32 matmul runs a
 # bf16-like fast path that visibly perturbs router logits (CLAUDE.md).
@@ -125,6 +126,30 @@ def test_moe_ffn_shape_validation():
         moe_ffn(x, params, _mesh((3,), ("expert",)))
     with pytest.raises(ValueError, match="batch"):
         moe_ffn(x[:6], params, _mesh((4,), ("expert",)))
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_upcycled_moe_preserves_dense_mlp(top_k):
+    # Sparse upcycling + normalized gates: identical experts whose top-k
+    # gates sum to 1 reproduce the dense MLP exactly (until experts diverge).
+    x, _ = _inputs(key=6)
+    k1, k2, kg = jax.random.split(jax.random.PRNGKey(7), 3)
+    fc1_k = jax.random.normal(k1, (M, F)) * 0.1
+    fc1_b = jax.random.normal(k1, (F,)) * 0.1
+    fc2_k = jax.random.normal(k2, (F, M)) * 0.1
+    fc2_b = jax.random.normal(k2, (M,)) * 0.1
+    params = upcycle_dense_mlp(kg, fc1_k, fc1_b, fc2_k, fc2_b, E)
+
+    tokens = x.reshape(-1, M)
+    dense_ref = jax.nn.gelu(tokens @ fc1_k + fc1_b) @ fc2_k + fc2_b
+
+    mesh = _mesh((4,), ("expert",))
+    out, _ = moe_ffn(
+        x, params, mesh, top_k=top_k, capacity_factor=NODROP, normalize_gates=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1, M), np.asarray(dense_ref), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_balance_loss_discriminates():
