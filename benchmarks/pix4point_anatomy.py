@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(f, args, iters=20, reps=3):
+ITERS, REPS, CHAINS = 20, 3, (1, 4, 8)
+
+
+def _time(f, args, iters=None, reps=None):
+    iters, reps = iters or ITERS, reps or REPS
     out = f(*args)
     jax.tree.map(lambda t: float(jnp.sum(t)), out)
     best = float("inf")
@@ -44,8 +48,9 @@ def _time(f, args, iters=20, reps=3):
     return best
 
 
-def _slope(build, args, chains=(1, 4, 8)):
-    ts = [_time(jax.jit(build(n)), args) for n in chains]
+def _slope(build, args, chains=None):
+    ts = [_time(jax.jit(build(n)), args) for n in (chains or CHAINS)]
+    chains = chains or CHAINS
     A = np.stack([np.asarray(chains, float), np.ones(len(chains))], 1)
     slope, _ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)[0]
     return slope
@@ -59,7 +64,11 @@ def main() -> None:
     from pointvit_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    B, N, S, E, H = 64, 2048, 513, 384, 6
+    tiny = "--tiny" in sys.argv  # CPU smoke: shape-path check, not a measurement
+    B, N, S, E, H = (4, 256, 65, 64, 4) if tiny else (64, 2048, 513, 384, 6)
+    if tiny:
+        global ITERS, REPS, CHAINS
+        ITERS, REPS, CHAINS = 2, 1, (1, 2)
     key = jax.random.PRNGKey(0)
     pts = jax.random.normal(key, (B, N, 3), jnp.float32)
     out = {}
@@ -104,13 +113,20 @@ def main() -> None:
     out["vit_block_ms"] = _slope(block_chain(None), (bparams, xb)) * 1e3
     out["vit_block_attn_only_ms"] = _slope(block_chain("attn"), (bparams, xb)) * 1e3
 
-    # 4. attention kernel alone, slope-fit (head-chunked two-pass at S=513)
+    # 4. attention kernel alone, slope-fit (head-chunked two-pass at S=513).
+    # Tiny/CPU smoke runs the kernel in interpret mode (same trace path).
+    from pointvit_tpu.ops.pallas_attention import _mha_qkv_pallas
+
     qkv = jax.random.normal(key, (B, S, 3 * E), jnp.bfloat16)
 
     def attn_chain(n):
         def f(t):
             for _ in range(n):
-                o = fused_mha_qkv(t, H)
+                o = (
+                    _mha_qkv_pallas(t, H, interpret=True)
+                    if tiny
+                    else fused_mha_qkv(t, H)
+                )
                 t = jnp.concatenate([o, o, o], axis=-1)
             return t
         return f

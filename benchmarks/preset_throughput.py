@@ -37,8 +37,9 @@ def main() -> None:
     from pointvit_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    arms = sys.argv[1:] or list(ARMS)
-    batch, num_points = 256, 1024
+    tiny = "--tiny" in sys.argv  # CPU smoke: shape-path check, not a measurement
+    arms = [a for a in sys.argv[1:] if not a.startswith("--")] or list(ARMS)
+    batch, num_points = (8, 256) if tiny else (256, 1024)
     points = jax.random.normal(jax.random.PRNGKey(0), (batch, num_points, 3), jnp.float32)
     out = {}
     for arm in arms:
@@ -46,14 +47,19 @@ def main() -> None:
             num_classes=40, in_channels=3, embedding_dim=768, npoint=196,
             nsample=32, depth=12, num_heads=12, dtype=jnp.bfloat16,
         )
+        if tiny:
+            kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
+                          dtype=jnp.float32)
         kwargs.update(ARMS[arm])
+        if tiny and kwargs.get("encoder_second_width") == 768:
+            kwargs["encoder_second_width"] = 64
         model = AdaptPointFormer(**kwargs)
         variables = model.init({"params": jax.random.PRNGKey(1)}, points[:1])
         fwd = jax.jit(lambda v, p: jnp.sum(model.apply(v, p, train=False)))
         t0 = time.time()
         float(fwd(variables, points))
         compile_s = time.time() - t0
-        reps, iters = 3, 20
+        reps, iters = (1, 2) if tiny else (3, 20)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -26,7 +26,13 @@ def main() -> None:
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--img-size", type=int, default=224)
+    # CPU smoke: shape-path check, not a measurement
+    ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
+    if args.tiny:
+        args.batch, args.points, args.views, args.iters = 2, 256, 2, 1
+        args.img_size = 64
 
     import jax
     import jax.numpy as jnp
@@ -42,8 +48,8 @@ def main() -> None:
     variables = None
     for impl, label in ((None, "fused_blocks"), ("attn", "attn_only")):
         model = PointCloudRendererClassifier(
-            num_classes=15, num_views=args.views, dtype=jnp.bfloat16,
-            implementation=impl,
+            num_classes=15, num_views=args.views, img_size=args.img_size,
+            dtype=jnp.bfloat16, implementation=impl,
         )
         if variables is None:
             variables = model.init({"params": jax.random.PRNGKey(1)}, pts[:1])

@@ -38,8 +38,9 @@ def main() -> None:
     from pointvit_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    arms = sys.argv[1:] or list(ARMS)
-    batch, num_points, classes = 256, 1024, 15
+    tiny = "--tiny" in sys.argv  # CPU smoke: shape-path check, not a measurement
+    arms = [a for a in sys.argv[1:] if not a.startswith("--")] or list(ARMS)
+    batch, num_points, classes = (8, 256, 15) if tiny else (256, 1024, 15)
     points = jax.random.normal(
         jax.random.PRNGKey(0), (batch, num_points, 3), jnp.float32
     )
@@ -51,44 +52,63 @@ def main() -> None:
             nsample=32, depth=12, num_heads=12, dtype=jnp.bfloat16,
         )
         kwargs.update(ARMS[arm])
+        if tiny:
+            kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
+                          dtype=jnp.float32)
+            if kwargs.get("encoder_second_width") == 768:
+                kwargs["encoder_second_width"] = 64
+            if kwargs.get("npoint") == 160:
+                kwargs["npoint"] = 24
         model = AdaptPointFormer(**kwargs)
         variables = model.init(
             {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
             points[:1], train=True,
         )
         params = variables["params"]
+        batch_stats = variables["batch_stats"]
         mask = apf_trainable_mask(params)
         optimizer = build_optimizer(
             optax.constant_schedule(5e-4), weight_decay=0.05, trainable_mask=mask
         )
         opt_state = optimizer.init(params)
 
-        def loss_fn(p, pts, y, key):
-            logits = model.apply(
-                {"params": p}, pts, train=True, rngs={"dropout": key}
+        def loss_fn(p, bs, pts, y, key):
+            logits, updated = model.apply(
+                {"params": p, "batch_stats": bs},
+                pts,
+                train=True,
+                rngs={"dropout": key},
+                mutable=["batch_stats"],
             )
-            return optax.softmax_cross_entropy_with_integer_labels(
+            loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), y
             ).mean()
+            return loss, updated["batch_stats"]
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(p, s, pts, y, key):
-            loss, grads = jax.value_and_grad(loss_fn)(p, pts, y, key)
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(p, bs, s, pts, y, key):
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bs, pts, y, key
+            )
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return p, s, loss
+            return p, bs, s, loss
 
         key = jax.random.PRNGKey(4)
         t0 = time.time()
-        params, opt_state, loss = step(params, opt_state, points, labels, key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, points, labels, key
+        )
         float(loss)
         compile_s = time.time() - t0
-        reps, iters = 3, 10
+        reps, iters = (1, 2) if tiny else (3, 10)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(iters):
-                params, opt_state, loss = step(params, opt_state, points, labels, key)
+                params, batch_stats, opt_state, loss = step(
+                    params, batch_stats, opt_state, points, labels, key
+                )
             float(loss)
             best = min(best, (time.perf_counter() - t0) / iters)
         out[arm] = {

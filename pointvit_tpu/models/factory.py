@@ -76,7 +76,9 @@ def build_model(model_config: dict, family: str | None = None):
         from pointvit_tpu.models.pix4point import Pix4Point
 
         overrides = {
-            k: model_config[k] for k in ("depth", "num_heads") if k in model_config
+            k: model_config[k]
+            for k in ("depth", "num_heads", "moe_experts", "moe_every", "moe_top_k")
+            if k in model_config
         }
         return Pix4Point.from_pretrained_name(
             model_config["pretrained_model"],

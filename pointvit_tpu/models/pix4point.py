@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from pointvit_tpu.nn.heads import ClsHead
+from pointvit_tpu.nn.moe import MoEViTBlock
 from pointvit_tpu.nn.pointnet import P3Embed, PosEmbedMLP
 from pointvit_tpu.nn.vit import ViTBlock
 
@@ -49,6 +50,18 @@ class PointViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # None = auto; 'xla' forces the XLA FPS/kNN/attention paths end-to-end.
     implementation: str | None = None
+    # Beyond-reference capacity scale-out (docs/SCALING.md "Expert
+    # parallelism"): 0 = dense MLPs everywhere (reference parity). With
+    # moe_experts > 0, every ``moe_every``-th block's MLP is a
+    # mixture-of-experts (nn/moe.py); pass ``moe_mesh`` (+ axis names) to run
+    # it expert-parallel. Aux losses are sown under intermediates/aux_loss —
+    # collect with nn.collect_moe_aux_loss.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 2
+    moe_mesh: object | None = None
+    moe_expert_axis: str = "expert"
+    moe_data_axis: str | None = None
 
     @nn.compact
     def __call__(self, points: jax.Array, features: jax.Array | None = None, *, train: bool = False) -> jax.Array:
@@ -94,6 +107,19 @@ class PointViT(nn.Module):
         # path (x+pos never materializes in HBM); the XLA path adds it at the
         # top of the block — identical math either way.
         for i in range(self.depth):
+            if self.moe_experts and i % self.moe_every == self.moe_every - 1:
+                x = MoEViTBlock(
+                    self.num_heads,
+                    num_experts=self.moe_experts,
+                    top_k=self.moe_top_k,
+                    dtype=self.dtype,
+                    mesh=self.moe_mesh,
+                    expert_axis=self.moe_expert_axis,
+                    data_axis=self.moe_data_axis,
+                    implementation=self.implementation,
+                    name=f"blocks_{i}",
+                )(x, pos=pos, deterministic=not train)
+                continue
             x = ViTBlock(
                 self.num_heads,
                 dropout_rate=self.dropout_rate,
@@ -124,6 +150,13 @@ class Pix4Point(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # None = auto; 'xla' forces the XLA paths end-to-end (parity debugging).
     implementation: str | None = None
+    # Beyond-reference MoE trunk (see PointViT.moe_*): 0 = reference parity.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 2
+    moe_mesh: object | None = None
+    moe_expert_axis: str = "expert"
+    moe_data_axis: str | None = None
 
     @classmethod
     def from_pretrained_name(cls, pretrained_model: str, **kwargs) -> "Pix4Point":
@@ -143,6 +176,12 @@ class Pix4Point(nn.Module):
             k_neighbors=self.k_neighbors,
             dtype=self.dtype,
             implementation=self.implementation,
+            moe_experts=self.moe_experts,
+            moe_every=self.moe_every,
+            moe_top_k=self.moe_top_k,
+            moe_mesh=self.moe_mesh,
+            moe_expert_axis=self.moe_expert_axis,
+            moe_data_axis=self.moe_data_axis,
             name="model",
         )(points, train=train)
         return ClsHead(self.num_classes, dtype=self.dtype, name="cls_head")(

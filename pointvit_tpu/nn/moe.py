@@ -75,10 +75,14 @@ class MoEMlp(nn.Module):
             "b2": self.param("b2", nn.initializers.zeros, (e, m)),
         }
         params = jax.tree.map(lambda p: p.astype(self.dtype), params)
+        # Init traces run on whatever toy batch the caller shapes (often 1),
+        # which need not divide the mesh; the dense path creates identical
+        # params, so EP placement only engages on real calls.
+        mesh = None if self.is_initializing() else self.mesh
         out, aux = moe_ffn(
             x.astype(self.dtype),
             params,
-            self.mesh,
+            mesh,
             expert_axis=self.expert_axis,
             data_axis=self.data_axis,
             top_k=self.top_k,

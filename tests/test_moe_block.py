@@ -97,3 +97,51 @@ def test_moe_vit_block_matches_dense_block():
 
 def test_collect_moe_aux_loss_empty_is_zero():
     assert float(collect_moe_aux_loss({})) == 0.0
+
+
+def test_moe_pix4point_trains_on_mesh():
+    # The full model family with an MoE trunk: one fwd+bwd train step over a
+    # (data × expert) mesh, aux losses sown by every MoE block and collected.
+    from pointvit_tpu.models import Pix4Point
+
+    mesh = _mesh((2, 4), ("data", "expert"))
+    model = Pix4Point(
+        num_classes=5,
+        embed_dim=32,
+        depth=4,
+        num_heads=4,
+        k_neighbors=8,
+        implementation="xla",
+        moe_experts=4,
+        moe_every=2,
+        moe_mesh=mesh,
+        moe_data_axis="data",
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 3))
+    labels = jnp.arange(8) % 5
+    variables = model.init({"params": jax.random.PRNGKey(1)}, pts[:1])
+    # blocks 1 and 3 are MoE (moe_every=2), blocks 0 and 2 dense
+    blocks = variables["params"]["model"]
+    assert "gate" in blocks["blocks_1"]["mlp"]
+    assert "fc1" in blocks["blocks_0"]["mlp"]
+    batch_stats = variables["batch_stats"]
+
+    @jax.jit
+    def loss_fn(p):
+        logits, updated = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            pts, train=True, mutable=["intermediates", "batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        aux = collect_moe_aux_loss(updated["intermediates"])
+        ce = -jnp.mean(
+            jax.nn.log_softmax(logits)[jnp.arange(8), labels]
+        )
+        return ce + 0.01 * aux, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss)) and float(aux) > 0
+    gate_grad = grads["model"]["blocks_1"]["mlp"]["gate"]
+    assert float(jnp.max(jnp.abs(gate_grad))) > 0
