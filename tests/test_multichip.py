@@ -224,3 +224,48 @@ def test_fused_encoder_under_shard_map():
         got = jax.jit(f)(groups)
         want = reference_folded_encoder(groups, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_tp_sharded_checkpoint_round_trip(tmp_path):
+    """Checkpointing a TP-sharded TrainState gathers full host arrays
+    (jax.device_get over NamedSharding) and restores to the same step as the
+    unsharded state — production save/resume works from any mesh layout."""
+    from pointvit_tpu.parallel.mesh import make_hybrid_mesh, transformer_tp_shardings
+    from pointvit_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_pending_writes,
+    )
+
+    assert jax.device_count() >= 8
+    model, state, points, labels = _build()
+    mesh = make_hybrid_mesh(jax.devices()[:8], model_parallel=2)
+    repl = NamedSharding(mesh, P())
+    state_tp = state.replace(
+        params=jax.device_put(state.params, transformer_tp_shardings(state.params, mesh)),
+        opt_state=jax.device_put(state.opt_state, repl),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        step=jax.device_put(state.step, repl),
+    )
+
+    path = save_checkpoint(
+        str(tmp_path), "tp.ckpt", epoch=3, state=state_tp, accuracy=0.5,
+        model_config={"num_classes": 15}, dataset_config={}, async_write=True,
+    )
+    wait_for_pending_writes()
+    restored = load_checkpoint(path, state)
+
+    # Restored host trees equal the original (pre-sharding) params exactly.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored["params"],
+        jax.device_get(state.params),
+    )
+    assert restored["epoch"] == 3
+
+    # And the restored params re-shard and step identically to the original.
+    step = jax.jit(lambda s, p, l: _step(model, s, p, l))
+    loss_ref, _ = step(state, points, labels)
+    state_back = state.replace(params=restored["params"])
+    loss_back, _ = step(state_back, points, labels)
+    np.testing.assert_allclose(float(loss_ref), float(loss_back), rtol=1e-6)
