@@ -47,12 +47,17 @@ def main() -> None:
             num_classes=40, in_channels=3, embedding_dim=768, npoint=196,
             nsample=32, depth=12, num_heads=12, dtype=jnp.bfloat16,
         )
+        kwargs.update(ARMS[arm])
         if tiny:
+            # Applied AFTER the arm preset so smoke shapes win; arm-relative
+            # cuts (slim width, g160 group count) are remapped to the tiny
+            # scale so every arm still exercises its distinct code path.
             kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
                           dtype=jnp.float32)
-        kwargs.update(ARMS[arm])
-        if tiny and kwargs.get("encoder_second_width") == 768:
-            kwargs["encoder_second_width"] = 64
+            if ARMS[arm].get("encoder_second_width") == 768:
+                kwargs["encoder_second_width"] = 64
+            if ARMS[arm].get("npoint") == 160:
+                kwargs["npoint"] = 24
         model = AdaptPointFormer(**kwargs)
         variables = model.init({"params": jax.random.PRNGKey(1)}, points[:1])
         fwd = jax.jit(lambda v, p: jnp.sum(model.apply(v, p, train=False)))

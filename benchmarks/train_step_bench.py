@@ -55,9 +55,9 @@ def main() -> None:
         if tiny:
             kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
                           dtype=jnp.float32)
-            if kwargs.get("encoder_second_width") == 768:
+            if ARMS[arm].get("encoder_second_width") == 768:
                 kwargs["encoder_second_width"] = 64
-            if kwargs.get("npoint") == 160:
+            if ARMS[arm].get("npoint") == 160:
                 kwargs["npoint"] = 24
         model = AdaptPointFormer(**kwargs)
         variables = model.init(

@@ -77,7 +77,14 @@ def build_model(model_config: dict, family: str | None = None):
 
         overrides = {
             k: model_config[k]
-            for k in ("depth", "num_heads", "moe_experts", "moe_every", "moe_top_k")
+            for k in (
+                "depth",
+                "num_heads",
+                "moe_experts",
+                "moe_every",
+                "moe_top_k",
+                "moe_normalize_gates",
+            )
             if k in model_config
         }
         return Pix4Point.from_pretrained_name(

@@ -59,6 +59,7 @@ class PointViT(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_top_k: int = 2
+    moe_normalize_gates: bool = False
     moe_mesh: object | None = None
     moe_expert_axis: str = "expert"
     moe_data_axis: str | None = None
@@ -112,6 +113,8 @@ class PointViT(nn.Module):
                     self.num_heads,
                     num_experts=self.moe_experts,
                     top_k=self.moe_top_k,
+                    normalize_gates=self.moe_normalize_gates,
+                    dropout_rate=self.dropout_rate,
                     dtype=self.dtype,
                     mesh=self.moe_mesh,
                     expert_axis=self.moe_expert_axis,
@@ -154,6 +157,7 @@ class Pix4Point(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_top_k: int = 2
+    moe_normalize_gates: bool = False
     moe_mesh: object | None = None
     moe_expert_axis: str = "expert"
     moe_data_axis: str | None = None
@@ -179,6 +183,7 @@ class Pix4Point(nn.Module):
             moe_experts=self.moe_experts,
             moe_every=self.moe_every,
             moe_top_k=self.moe_top_k,
+            moe_normalize_gates=self.moe_normalize_gates,
             moe_mesh=self.moe_mesh,
             moe_expert_axis=self.moe_expert_axis,
             moe_data_axis=self.moe_data_axis,

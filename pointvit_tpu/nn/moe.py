@@ -108,7 +108,9 @@ class MoEViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     top_k: int = 2
     capacity_factor: float = 2.0
+    normalize_gates: bool = False
     drop_path_rate: float = 0.0
+    dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     mesh: Mesh | None = None
     expert_axis: str = "expert"
@@ -140,12 +142,17 @@ class MoEViTBlock(nn.Module):
             int(dim * self.mlp_ratio),
             top_k=self.top_k,
             capacity_factor=self.capacity_factor,
+            normalize_gates=self.normalize_gates,
             dtype=self.dtype,
             mesh=self.mesh,
             expert_axis=self.expert_axis,
             data_axis=self.data_axis,
             name="mlp",
         )(h, deterministic=deterministic)
+        # Routing carries no dropout (it would decohere the dispatch); the
+        # block-level MLP dropout lands on the combined expert output instead,
+        # keeping train-time regularization symmetric with the dense blocks.
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         return x + DropPath(self.drop_path_rate)(h, deterministic=deterministic)
 
 

@@ -37,6 +37,7 @@ e), psum-averaged over the mesh so every device sees the global value.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -177,7 +178,7 @@ def moe_ffn(
     top_k: int = 2,
     capacity_factor: float = 2.0,
     normalize_gates: bool = False,
-    activation=jax.nn.gelu,
+    activation=functools.partial(jax.nn.gelu, approximate=False),
 ):
     """Mixture-of-experts FFN; drop-in for a transformer MLP.
 
@@ -198,6 +199,9 @@ def moe_ffn(
             (GShard top-2 convention; required for exact output preservation
             with :func:`upcycle_dense_mlp`). Default False = Switch
             convention (raw router probabilities).
+        activation: expert nonlinearity. Default exact (erf) GELU, matching
+            :class:`pointvit_tpu.nn.layers.Mlp` — so upcycled dense weights
+            compute the identical function.
 
     Returns:
         (out, aux) — out: (B, S, M) same dtype as x; aux: scalar f32
@@ -207,6 +211,8 @@ def moe_ffn(
     e = params["gate"].shape[-1]
     n = mesh.shape[expert_axis] if mesh is not None else 1
     dp = mesh.shape[data_axis] if (mesh is not None and data_axis) else 1
+    if top_k > e:
+        raise ValueError(f"top_k={top_k} exceeds {e} experts")
     if e % n:
         raise ValueError(f"{e} experts not divisible by {n} expert shards")
     if b % (n * dp):

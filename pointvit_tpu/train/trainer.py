@@ -361,21 +361,38 @@ class Trainer:
     # -- steps ------------------------------------------------------------
 
     def _apply_train(self, params, batch_stats, points, rngs):
-        if batch_stats:
+        # MoE trunks (models with moe_experts > 0, e.g. Pix4Point's
+        # beyond-reference capacity option) sow their router load-balance
+        # losses under intermediates/aux_loss — collect them here so the
+        # train step can weight them into the loss (train_config key
+        # "moe_aux_weight", default 0.01). Non-MoE models keep the exact
+        # pre-existing apply signature.
+        moe = bool(getattr(self.model, "moe_experts", 0))
+        mutable = (["batch_stats"] if batch_stats else []) + (
+            ["intermediates"] if moe else []
+        )
+        if mutable:
             logits, updated = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
+                {"params": params, "batch_stats": batch_stats}
+                if batch_stats
+                else {"params": params},
                 points,
                 train=True,
                 rngs=rngs,
-                mutable=["batch_stats"],
+                mutable=mutable,
             )
-            return logits, updated["batch_stats"]
+            aux = jnp.asarray(0.0, jnp.float32)
+            if moe:
+                from pointvit_tpu.nn.moe import collect_moe_aux_loss
+
+                aux = collect_moe_aux_loss(updated.get("intermediates", {}))
+            return logits, updated.get("batch_stats", batch_stats), aux
         # No BatchNorm anywhere in the model (e.g. fixed-view renderer):
         # plain apply — passing mutable=[] would still return a tuple.
         logits = self.model.apply(
             {"params": params}, points, train=True, rngs=rngs
         )
-        return logits, batch_stats
+        return logits, batch_stats, jnp.asarray(0.0, jnp.float32)
 
     def _train_step_impl(self, state: TrainState, points, labels, step_key):
         rngs = {
@@ -384,7 +401,7 @@ class Trainer:
         }
 
         def loss_fn(params):
-            logits, new_stats = self._apply_train(
+            logits, new_stats, moe_aux = self._apply_train(
                 params, state.batch_stats, points, rngs
             )
             loss = jnp.mean(
@@ -392,6 +409,9 @@ class Trainer:
                     logits.astype(jnp.float32), labels, self.label_smoothing
                 )
             )
+            loss = loss + jnp.float32(
+                self.train_config.get("moe_aux_weight", 0.01)
+            ) * moe_aux
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(

@@ -126,6 +126,8 @@ def test_moe_ffn_shape_validation():
         moe_ffn(x, params, _mesh((3,), ("expert",)))
     with pytest.raises(ValueError, match="batch"):
         moe_ffn(x[:6], params, _mesh((4,), ("expert",)))
+    with pytest.raises(ValueError, match="top_k"):
+        moe_ffn(x, params, None, top_k=E + 1)
 
 
 @pytest.mark.parametrize("top_k", [1, 2])
@@ -141,7 +143,10 @@ def test_upcycled_moe_preserves_dense_mlp(top_k):
     params = upcycle_dense_mlp(kg, fc1_k, fc1_b, fc2_k, fc2_b, E)
 
     tokens = x.reshape(-1, M)
-    dense_ref = jax.nn.gelu(tokens @ fc1_k + fc1_b) @ fc2_k + fc2_b
+    # Exact GELU: moe_ffn's default activation matches nn.layers.Mlp.
+    dense_ref = (
+        jax.nn.gelu(tokens @ fc1_k + fc1_b, approximate=False) @ fc2_k + fc2_b
+    )
 
     mesh = _mesh((4,), ("expert",))
     out, _ = moe_ffn(

@@ -99,6 +99,54 @@ def test_collect_moe_aux_loss_empty_is_zero():
     assert float(collect_moe_aux_loss({})) == 0.0
 
 
+def test_pix4point_trainer_applies_moe_aux(tmp_path):
+    # The generic trainer must fold the sown router aux losses into the
+    # training loss (train_config "moe_aux_weight") — two trainers differing
+    # only in that weight see different losses on the identical batch/state.
+    from pointvit_tpu.data.synthetic import write_scanobjectnn_h5
+    from pointvit_tpu.train import Pix4PointTrainer
+
+    root = str(tmp_path / "sonn")
+    write_scanobjectnn_h5(root, num_train=16, num_test=8, num_points=64, num_classes=15)
+    model_config = {
+        "model_name": "Pix4Point", "num_classes": 15,
+        "pretrained_model": "vit_small_patch16_384", "pretrained": False,
+        "frozen": False, "k_neighbors": 4, "embed_dim": 32,
+        "depth": 2, "num_heads": 4, "bf16": False,
+        "moe_experts": 2, "moe_every": 2,  # block 1 is MoE
+    }
+    dataset_config = {
+        "root_dir": root, "variant": "main_split", "augmentation": "base",
+        "num_points": 64, "normalize": True, "sampling_method": "all",
+        "use_custom_augmentation": True,
+    }
+    train_config = {
+        "batch_size": 8, "learning_rate": 5e-4, "weight_decay": 5e-2,
+        "save_interval": 10, "epochs": 1, "t_max": 1, "warmup_epochs": 1,
+        "min_lr": 1e-6, "grad_norm_clip": 10,
+    }
+
+    def step_loss(aux_weight, out):
+        trainer = Pix4PointTrainer(
+            model_config, dataset_config,
+            {**train_config, "moe_aux_weight": aux_weight}, output_dir=out,
+        )
+        assert trainer.model.moe_experts == 2  # factory passthrough
+        state = trainer._init_state(0)
+        pts = jax.random.normal(jax.random.PRNGKey(7), (8, 64, 3))
+        labels = jnp.arange(8, dtype=jnp.int32) % 15
+        _, loss, _, _ = trainer._train_step(
+            state, pts, labels, jax.random.PRNGKey(8)
+        )
+        return float(loss)
+
+    l0 = step_loss(0.0, str(tmp_path / "o0"))
+    l1 = step_loss(100.0, str(tmp_path / "o1"))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # aux ≈ 1 at init (near-uniform router): weight 100 dominates the CE.
+    assert l1 > l0 + 1.0
+
+
 def test_moe_pix4point_trains_on_mesh():
     # The full model family with an MoE trunk: one fwd+bwd train step over a
     # (data × expert) mesh, aux losses sown by every MoE block and collected.
