@@ -216,6 +216,18 @@ class MicroBatcher:
         self._closed.set()
         self._queue.put(None)  # wake the drain loop
         self._thread.join()
+        # A submit() that passed the closed check before close() set it can
+        # still enqueue after the drain loop exited; fail those callers
+        # instead of leaving them blocked forever.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                _, done, slot = item
+                slot[1] = RuntimeError("MicroBatcher is closed")
+                done.set()
 
     def __enter__(self):
         return self
