@@ -156,3 +156,37 @@ def test_microbatcher_closed_raises(apf_checkpoint):
     mb.close()
     with pytest.raises(RuntimeError, match="closed"):
         mb.submit(clouds[0])
+
+
+def test_export_cli_round_trip(apf_checkpoint, tmp_path):
+    """scripts/export_model.py: checkpoint → StableHLO artifact whose logits
+    match the live trainer model (no Python model code at load time)."""
+    import json
+    import subprocess
+    import sys
+
+    path, trainer, clouds = apf_checkpoint
+    out = str(tmp_path / "apf.stablehlo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # CPU subprocess (CLAUDE.md)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "export_model.py"),
+         "--checkpoint", path, "--out", out, "--points", "64"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["batch"] == "polymorphic" and info["in_channels"] == 4
+
+    from pointvit_tpu.export import load_exported
+
+    fn = load_exported(out)
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+    ref = trainer.model.apply(variables, clouds, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fn(clouds)), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
