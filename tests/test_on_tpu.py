@@ -256,3 +256,28 @@ class TestBenchShapeSmoke:
         nb, ctr = apf_group(pts, pts, BENCH_G, 16)
         assert nb.shape == (32, BENCH_G, 16, 6)
         assert np.isfinite(float(jnp.sum(nb)))
+
+
+class TestExportOnDevice:
+    def test_export_bakes_fused_paths_and_round_trips(self):
+        """jax.export on the TPU host: the fused Pallas paths (auto dispatch
+        keys on the exporting backend) must serialize (tpu_custom_call is an
+        export-stable custom call) and the reloaded artifact must match the
+        live model on the chip."""
+        from pointvit_tpu.export import export_forward, load_forward
+        from pointvit_tpu.models import AdaptPointFormer
+
+        model = AdaptPointFormer(
+            num_classes=15, in_channels=3, embedding_dim=192,
+            npoint=BENCH_G, nsample=BENCH_K, depth=2, num_heads=3,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(9), (8, BENCH_N, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(10)}, pts[:1])
+        fn = load_forward(export_forward(model, variables, pts))
+        ref = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pts)
+        np.testing.assert_allclose(
+            np.asarray(fn(pts), np.float32),
+            np.asarray(ref, np.float32),
+            atol=0.25, rtol=0.05,
+        )
