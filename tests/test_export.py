@@ -63,6 +63,29 @@ def test_export_file_round_trip(apf, tmp_path):
     )
 
 
+def test_export_renderer(tmp_path):
+    # Third family: rasterization (scatter-max + reduce_window) and the
+    # per-view ViT all serialize; artifact == live model.
+    from pointvit_tpu.models import renderer as rmod
+    from pointvit_tpu.models import PointCloudRendererClassifier
+
+    rmod.TORCHVISION_VIT_PRESETS["vit_export_test"] = dict(
+        patch_size=8, embed_dim=32, depth=1, num_heads=4
+    )
+    model = PointCloudRendererClassifier(
+        num_classes=5, vit_name="vit_export_test", num_views=2, img_size=32,
+        implementation="xla",
+    )
+    pts = jax.random.normal(jax.random.PRNGKey(4), (2, 128, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(5)}, pts[:1])
+    fn = load_forward(export_forward(model, variables, pts))
+    np.testing.assert_allclose(
+        np.asarray(fn(pts)),
+        np.asarray(model.apply(variables, pts, train=False)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_export_pix4point(apf, tmp_path):
     from pointvit_tpu.models import Pix4Point
 
