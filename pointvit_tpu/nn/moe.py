@@ -23,24 +23,15 @@ upcycle (replicating a trained fc1/fc2 into all experts) is one broadcast.
 
 from __future__ import annotations
 
-import math
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from pointvit_tpu.nn.layers import Attention, DropPath
-from pointvit_tpu.parallel.expert import moe_ffn
+from pointvit_tpu.parallel.expert import fan_in_normal_init, moe_ffn
 
 __all__ = ["MoEMlp", "MoEViTBlock", "collect_moe_aux_loss"]
-
-
-def _fan_in_normal(fan_in: int):
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(fan_in))
-
-    return init
 
 
 class MoEMlp(nn.Module):
@@ -68,10 +59,10 @@ class MoEMlp(nn.Module):
         del deterministic  # routing is deterministic; no dropout inside
         m, f, e = x.shape[-1], self.hidden_features, self.num_experts
         params = {
-            "gate": self.param("gate", _fan_in_normal(m), (m, e)),
-            "w1": self.param("w1", _fan_in_normal(m), (e, m, f)),
+            "gate": self.param("gate", fan_in_normal_init(m), (m, e)),
+            "w1": self.param("w1", fan_in_normal_init(m), (e, m, f)),
             "b1": self.param("b1", nn.initializers.zeros, (e, f)),
-            "w2": self.param("w2", _fan_in_normal(f), (e, f, m)),
+            "w2": self.param("w2", fan_in_normal_init(f), (e, f, m)),
             "b2": self.param("b2", nn.initializers.zeros, (e, m)),
         }
         params = jax.tree.map(lambda p: p.astype(self.dtype), params)
@@ -88,7 +79,7 @@ class MoEMlp(nn.Module):
             top_k=self.top_k,
             capacity_factor=self.capacity_factor,
             normalize_gates=self.normalize_gates,
-            activation=lambda h: jax.nn.gelu(h, approximate=False),
+            # default activation: exact GELU, matching nn.layers.Mlp
         )
         self.sow("intermediates", "aux_loss", aux)
         return out

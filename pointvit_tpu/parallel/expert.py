@@ -46,10 +46,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = [
     "moe_ffn",
+    "fan_in_normal_init",
     "init_moe_params",
     "moe_load_balance_loss",
     "upcycle_dense_mlp",
 ]
+
+
+def fan_in_normal_init(fan_in: int):
+    """``normal / sqrt(fan_in)`` initializer (flax Dense-compatible scale),
+    shared by :func:`init_moe_params` and the flax :class:`~pointvit_tpu.nn.moe.MoEMlp`."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(fan_in))
+
+    return init
 
 
 def init_moe_params(
@@ -68,10 +79,10 @@ def init_moe_params(
     k_gate, k1, k2 = jax.random.split(key, 3)
     e, m, f = num_experts, embed_dim, hidden_dim
     return {
-        "gate": (jax.random.normal(k_gate, (m, e)) * (1.0 / math.sqrt(m))).astype(dtype),
-        "w1": (jax.random.normal(k1, (e, m, f)) * (1.0 / math.sqrt(m))).astype(dtype),
+        "gate": fan_in_normal_init(m)(k_gate, (m, e), dtype),
+        "w1": fan_in_normal_init(m)(k1, (e, m, f), dtype),
         "b1": jnp.zeros((e, f), dtype),
-        "w2": (jax.random.normal(k2, (e, f, m)) * (1.0 / math.sqrt(f))).astype(dtype),
+        "w2": fan_in_normal_init(f)(k2, (e, f, m), dtype),
         "b2": jnp.zeros((e, m), dtype),
     }
 
@@ -102,10 +113,10 @@ def upcycle_dense_mlp(
         "gate": (
             jax.random.normal(key, (m, e)) * (router_scale / math.sqrt(m))
         ).astype(fc1_kernel.dtype),
-        "w1": jnp.broadcast_to(fc1_kernel[None], (e, *fc1_kernel.shape)).copy(),
-        "b1": jnp.broadcast_to(fc1_bias[None], (e, *fc1_bias.shape)).copy(),
-        "w2": jnp.broadcast_to(fc2_kernel[None], (e, *fc2_kernel.shape)).copy(),
-        "b2": jnp.broadcast_to(fc2_bias[None], (e, *fc2_bias.shape)).copy(),
+        "w1": jnp.broadcast_to(fc1_kernel[None], (e, *fc1_kernel.shape)),
+        "b1": jnp.broadcast_to(fc1_bias[None], (e, *fc1_bias.shape)),
+        "w2": jnp.broadcast_to(fc2_kernel[None], (e, *fc2_kernel.shape)),
+        "b2": jnp.broadcast_to(fc2_bias[None], (e, *fc2_bias.shape)),
     }
 
 
@@ -230,19 +241,19 @@ def moe_ffn(
         xin = jnp.einsum(
             "tec,tm->ecm", dispatch, tokens.astype(jnp.float32)
         )  # (E, C, M)
+        experts = {k: v for k, v in p.items() if k != "gate"}
         if mesh is not None and n > 1:
             # (E, C, M) → (E/n, n·C, M): each device receives its local
             # experts' slots from every peer.
             xin = jax.lax.all_to_all(
                 xin, expert_axis, split_axis=0, concat_axis=1, tiled=True
             )
-            p_local = {k: v for k, v in p.items() if k != "gate"}
-            y = _expert_ffn(xin, p_local, activation)
+            y = _expert_ffn(xin, experts, activation)
             y = jax.lax.all_to_all(
                 y, expert_axis, split_axis=1, concat_axis=0, tiled=True
             )
         else:
-            y = _expert_ffn(xin, {k: v for k, v in p.items() if k != "gate"}, activation)
+            y = _expert_ffn(xin, experts, activation)
         out = jnp.einsum("tec,ecm->tm", combine, y)
         aux = moe_load_balance_loss(f_e, p_e)
         if mesh is not None:
