@@ -73,6 +73,17 @@ class InferenceSession:
         buckets: tuple[int, ...] = _DEFAULT_BUCKETS,
     ) -> None:
         self.model = model
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def forward(vs, points):
+            return self.model.apply(vs, points, train=False)
+
+        self._configure(variables, forward, mesh, buckets)
+
+    def _configure(self, variables, forward, mesh, buckets) -> None:
+        """Shared session plumbing: bucket ladder, mesh placement, jit."""
         self.mesh = mesh
         n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self.buckets = tuple(
@@ -80,18 +91,10 @@ class InferenceSession:
         )
         if not self.buckets:
             raise ValueError("at least one bucket is required")
-
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
         if mesh is not None:
             variables = replicate(variables, mesh)
         self._variables = variables
         self._in_sharding = batch_sharding(mesh) if mesh is not None else None
-
-        def forward(vs, points):
-            return self.model.apply(vs, points, train=False)
-
         self._forward = jax.jit(forward)
 
     # -- construction -------------------------------------------------------
@@ -132,6 +135,29 @@ class InferenceSession:
             mesh=mesh,
             buckets=buckets,
         )
+
+    @classmethod
+    def from_exported(
+        cls,
+        path: str,
+        *,
+        mesh: jax.sharding.Mesh | None = None,
+        buckets: tuple[int, ...] = _DEFAULT_BUCKETS,
+    ) -> "InferenceSession":
+        """Serve a StableHLO artifact (``scripts/export_model.py``) behind
+        the same bucket ladder / mesh DP / micro-batching — the host needs
+        no Python model code or params files at all (pointvit_tpu/export.py).
+
+        Batch-polymorphic artifacts (the export default) accept every bucket
+        size; the ladder still bounds how many shapes get compiled.
+        """
+        from pointvit_tpu.export import load_exported
+
+        fn = load_exported(path)
+        self = cls.__new__(cls)
+        self.model = None
+        self._configure({}, lambda vs, points: fn(points), mesh, buckets)
+        return self
 
     # -- inference ----------------------------------------------------------
 

@@ -158,6 +158,26 @@ def test_microbatcher_closed_raises(apf_checkpoint):
         mb.submit(clouds[0])
 
 
+def test_from_exported_serves_artifact(apf_checkpoint, tmp_path):
+    """InferenceSession.from_exported: the bucket ladder + padding serve a
+    StableHLO artifact with no model code, matching the model-backed session."""
+    from pointvit_tpu.export import export_forward, save_exported
+
+    path, trainer, clouds = apf_checkpoint
+    variables = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+    art = str(tmp_path / "apf.stablehlo")
+    save_exported(art, export_forward(trainer.model, variables, clouds))
+
+    session = InferenceSession.from_exported(art, buckets=(4, 16))
+    ref = InferenceSession.from_checkpoint(path, buckets=(4, 16))
+    got = session.predict_logits(clouds)  # 9 clouds: pad to 16
+    want = ref.predict_logits(clouds)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert session.predict(clouds).shape == (9,)
+
+
 def test_export_cli_round_trip(apf_checkpoint, tmp_path):
     """scripts/export_model.py: checkpoint → StableHLO artifact whose logits
     match the live trainer model (no Python model code at load time)."""
