@@ -21,7 +21,17 @@ cd "$REPO"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
 echo $$ > "$OUT/drain.pid"
 
+# Hard deadline: the round driver runs bench.py on the same single-process
+# tunnel at round end (~12h); a colliding probe/stage can kill that run
+# with INTERNAL errors (CLAUDE.md). Exit with >2h of margin.
+DEADLINE=$(( $(date +%s) + 34200 ))
+
 log() { echo "[$(date '+%m-%d %H:%M:%S')] $*" >> "$OUT/drain.log"; }
+
+past_deadline() {
+  [ "$(date +%s)" -ge "$DEADLINE" ] && { log "deadline reached; exiting"; return 0; }
+  return 1
+}
 
 probe() {  # 0 iff a real device matmul completes (bounded: relay half-up hangs)
   timeout 240 python -c "
@@ -33,6 +43,7 @@ print(float(jnp.sum(x @ x)))" > /dev/null 2>&1
 wait_for_tpu() {
   until probe; do
     [ -e "$REPO/.stop_drain" ] && { log "stop requested"; exit 0; }
+    past_deadline && exit 0
     log "tunnel down; retry in 300s"
     sleep 300
   done
@@ -43,7 +54,12 @@ stage() {  # stage <name> <timeout_s> <cmd...>
   shift 2
   [ -e "$OUT/.done_$name" ] && return 0
   [ -e "$REPO/.stop_drain" ] && { log "stop requested"; exit 0; }
+  past_deadline && exit 0
   wait_for_tpu
+  # A stage may not run past the deadline: cap its timeout to the time left.
+  local left=$(( DEADLINE - $(date +%s) ))
+  [ "$left" -lt 600 ] && { log "skip $name (<600s to deadline)"; exit 0; }
+  [ "$tmo" -gt "$left" ] && tmo=$left
   log "start $name (timeout ${tmo}s)"
   if timeout "$tmo" "$@" >> "$OUT/$name.log" 2>&1; then
     touch "$OUT/.done_$name"
