@@ -76,7 +76,7 @@ def main() -> None:
     # the neg_k8 negative control verified REJECTED. As of r4 that is slim
     # (2511.9 measured r2); v2 is accepted (+7.4 pp, CI [+2.8, +12.1]) but
     # unmeasured until benchmarks/preset_throughput.py runs on TPU recovery.
-    DEFAULT_PRESET = "slim"
+    DEFAULT_PRESET = "v2"
     name = os.environ.get("POINTVIT_BENCH_PRESET", DEFAULT_PRESET)
     if os.environ.get("POINTVIT_BENCH_EXACT", "") == "1":
         name = "exact"
