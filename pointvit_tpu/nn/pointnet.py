@@ -160,8 +160,30 @@ class P3Embed(nn.Module):
     layers: int = 4
     embed_dim: int = 256
     dtype: jnp.dtype = jnp.float32
-    # None = auto; 'xla' forces the XLA FPS/kNN paths.
+    # None = auto (fused Pallas stage kernel on TPU inference); 'fused'
+    # forces the stage kernel (interpret off-TPU); 'xla' forces the XLA
+    # FPS/kNN and conv-stack paths.
     implementation: str | None = None
+
+    def _fused_stage_ok(self, M: int, stage: int, *, train: bool) -> bool:
+        # Mirror of GroupFeatureEncoder._fused_ok: the stage kernel
+        # (ops/pallas_encoder.py::fused_p3_embed) folds inference BNs and
+        # the conv1 linear pair, so it needs frozen stats + the default
+        # 4-layer stage structure (conv1 pair, conv2 [2D, D]).
+        if self.implementation == "xla" or train or self.layers != 4:
+            return False
+        if self.is_initializing() or not self.has_variable(
+            "batch_stats", f"s{stage}_conv1_bn"
+        ):
+            return False
+        if M % 16 != 0:
+            return False
+        if self.implementation == "fused":
+            return True
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
 
     @nn.compact
     def __call__(
@@ -171,6 +193,10 @@ class P3Embed(nn.Module):
         stages = int(math.log(1 / self.sample_ratio, self.scale))
         stage_dim = int(self.embed_dim // 2 ** (stages - 1))
         key = self.make_rng("fps") if self.has_rng("fps") else None
+
+        # 'fused' governs the embed kernel only; grouping stays auto
+        # (p3_group/FPS accept None or 'xla').
+        tok_impl = "xla" if self.implementation == "xla" else None
 
         p, f = points, features
         in_ch = self.in_channels
@@ -182,9 +208,32 @@ class P3Embed(nn.Module):
                 key, stage_key = jax.random.split(key)
             centers, dp, fj = p3_group(
                 p, f, N, self.k, key=stage_key,
-                implementation=self.implementation,
+                implementation=tok_impl,
             )
             x = jnp.concatenate([dp, fj], axis=-1)  # (B, S, k, 3 + in_ch)
+
+            B, S, K, C = x.shape
+            if self._fused_stage_ok(B * S, s, train=train):
+                # Inference: the whole conv stack runs as one Pallas kernel —
+                # BNs folded, the conv1 linear pair collapsed to one matmul,
+                # the (B·S, K, 2D) concat intermediate never in HBM
+                # (ops/pallas_encoder.py::fused_p3_embed).
+                from pointvit_tpu.ops.pallas_encoder import (
+                    fold_p3_stage_params,
+                    fused_p3_embed,
+                )
+
+                weights = fold_p3_stage_params(
+                    self.variables["params"], self.variables["batch_stats"], s
+                )
+                interpret = jax.default_backend() not in ("tpu", "axon")
+                f = fused_p3_embed(
+                    x.astype(self.dtype).reshape(B * S, K, C), weights, interpret
+                ).reshape(B, S, stage_dim)
+                p = centers
+                in_ch = stage_dim
+                stage_dim *= 2
+                continue
 
             # conv1: Dense(no bias) → Dense(bias) → BN → ReLU  (pix4point.py:137-145)
             half = self.layers // 2

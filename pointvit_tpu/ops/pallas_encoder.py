@@ -40,7 +40,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_group_encoder", "fold_encoder_params", "reference_folded_encoder"]
+__all__ = [
+    "fused_group_encoder",
+    "fold_encoder_params",
+    "reference_folded_encoder",
+    "fused_p3_embed",
+    "fold_p3_stage_params",
+    "reference_folded_p3",
+]
 
 
 def _dot(a, b):
@@ -173,3 +180,134 @@ def fold_encoder_params(params, batch_stats):
     w3 = p["second_1"]["kernel"]
     b3 = p["second_1"]["bias"]
     return (w0, c0, w1, c1, w2, b2, wg, wl, c2, w3, b3)
+
+
+# ---------------------------------------------------------------------------
+# Pix4Point P3Embed stage (pix4point.py:105-191), same fusion treatment.
+#
+# The XLA inference path at the bench shape (B=64, S=512, K=16, D=384) runs
+# ~1.08 TFLOP/batch of narrow matmuls plus BatchNorm/ReLU passes over
+# (B·S, K, 2D) HBM tensors — measured as the step's ~9 ms "unattributed"
+# remainder (benchmarks/pix4point_anatomy.py, r4). Two exact rewrites:
+#
+# 1. conv1_0 → conv1_1 are *consecutive linear maps* (the reference applies
+#    BN+ReLU only after the second conv, pix4point.py:137-145), so they fold
+#    into ONE (C, D) matmul host-side: x@V0@(V1·s1) — deleting the stack's
+#    dominant 154 GFLOP (D×D) contraction outright.
+# 2. concat([global, local]) @ W2 splits into g@W2[:D] (per-group, K× fewer
+#    FLOPs) + h@W2[D:], the same split the APF encoder uses above.
+#
+# Everything else (BN folds, VMEM-resident tile pipeline, recompute VJP)
+# mirrors the APF kernel. ~640 GFLOP/batch remain, all MXU contractions.
+# ---------------------------------------------------------------------------
+
+
+def _p3_kernel(T, K, x_ref, w01, c01, w2g, w2l, c2, w3, c3, o_ref):
+    C = x_ref.shape[-1]
+    D = w01.shape[-1]
+    H = w2l.shape[-1]
+    dt = x_ref.dtype
+    x = x_ref[...].reshape(T * K, C)
+    h = jnp.maximum(_dot(x, w01[...]) + c01[...], 0.0).astype(dt)  # (T·K, D)
+    g = jnp.max(h.reshape(T, K, D), axis=1)  # (T, D)
+    xg = _dot(g, w2g[...]) + c2[...]  # (T, H) f32
+    xl = _dot(h, w2l[...])  # (T·K, H) f32
+    h2 = jnp.maximum(xl.reshape(T, K, H) + xg[:, None, :], 0.0)
+    h2 = h2.reshape(T * K, H).astype(dt)
+    h3 = jnp.maximum(_dot(h2, w3[...]) + c3[...], 0.0).reshape(T, K, D)
+    o_ref[...] = jnp.max(h3, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_groups", "interpret"))
+def _p3_pallas(x, weights, *, block_groups: int | None = None, interpret: bool = False):
+    """x: (M, K, C) grouped [coords ‖ feats]; weights: 7-tuple from
+    :func:`fold_p3_stage_params`."""
+    M, K, C = x.shape
+    w01, c01, w2g, w2l, c2, w3, c3 = weights
+    D = w01.shape[-1]
+    T = block_groups if block_groups else (32 if M % 32 == 0 else 16)
+    assert M % T == 0, (M, T)
+    dt = x.dtype
+    row = lambda v: v.reshape(1, -1).astype(dt)
+    mat = lambda v: v.astype(dt)
+    ws = (mat(w01), row(c01), mat(w2g), mat(w2l), row(c2), mat(w3), row(c3))
+    wspecs = [
+        pl.BlockSpec(w.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+        for w in ws
+    ]
+    return pl.pallas_call(
+        functools.partial(_p3_kernel, T, K),
+        grid=(M // T,),
+        in_specs=[
+            pl.BlockSpec((T, K, C), lambda m: (m, 0, 0), memory_space=pltpu.VMEM),
+            *wspecs,
+        ],
+        out_specs=pl.BlockSpec((T, D), lambda m: (m, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), dt),
+        interpret=interpret,
+    )(x, *ws)
+
+
+def reference_folded_p3(x, weights):
+    """jnp equivalent of :func:`_p3_pallas` (backward recompute + oracle)."""
+    M, K, C = x.shape
+    w01, c01, w2g, w2l, c2, w3, c3 = [w.astype(x.dtype) for w in weights]
+    D = w01.shape[-1]
+    H = w2l.shape[-1]
+    h = jnp.maximum(x.reshape(M * K, C) @ w01 + c01, 0.0)
+    g = jnp.max(h.reshape(M, K, D), axis=1)
+    h2 = jnp.maximum(
+        (h @ w2l).reshape(M, K, H) + (g @ w2g + c2)[:, None, :], 0.0
+    )
+    h3 = jnp.maximum(h2.reshape(M * K, H) @ w3 + c3, 0.0).reshape(M, K, D)
+    return jnp.max(h3, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_p3_embed(x, weights, interpret: bool = False):
+    """Fused P3Embed stage; x: (M, K, C) → (M, D).
+
+    ``weights`` is the 7-tuple from :func:`fold_p3_stage_params`. Backward
+    recomputes through :func:`reference_folded_p3` (training itself keeps
+    the XLA path — batch-statistics BN can't fold).
+    """
+    return _p3_pallas(x, tuple(weights), interpret=interpret)
+
+
+def _fp3_fwd(x, weights, interpret):
+    return _p3_pallas(x, tuple(weights), interpret=interpret), (x, tuple(weights))
+
+
+def _fp3_bwd(interpret, res, g):
+    x, weights = res
+    _, vjp = jax.vjp(reference_folded_p3, x, weights)
+    return vjp(g)
+
+
+fused_p3_embed.defvjp(_fp3_fwd, _fp3_bwd)
+
+
+def fold_p3_stage_params(params, batch_stats, stage: int = 0):
+    """Fold one P3Embed stage's BatchNorms + the conv1 linear pair (f32).
+
+    ``params`` / ``batch_stats`` are :class:`pointvit_tpu.nn.pointnet.P3Embed`'s
+    own collections; layer names as written by its stage loop (requires the
+    default ``layers=4`` structure: conv1 = linear→linear→BN→ReLU, conv2 =
+    two of linear→BN→ReLU). Returns the kernel's 7 weight arrays.
+    """
+    f32 = lambda t: jax.tree.map(lambda a: a.astype(jnp.float32), t)
+    p, bs = f32(params), f32(batch_stats)
+    s = f"s{stage}"
+    s1, t1 = _bn_affine(p[f"{s}_conv1_bn"], bs[f"{s}_conv1_bn"])
+    s2, t2 = _bn_affine(p[f"{s}_conv2_bn0"], bs[f"{s}_conv2_bn0"])
+    s3, t3 = _bn_affine(p[f"{s}_conv2_bn1"], bs[f"{s}_conv2_bn1"])
+    v0 = p[f"{s}_conv1_0"]["kernel"]  # (C, D), no bias
+    v1 = p[f"{s}_conv1_1"]["kernel"]  # (D, D)
+    b1 = p[f"{s}_conv1_1"]["bias"]
+    w01 = v0 @ (v1 * s1)
+    c01 = b1 * s1 + t1
+    k2 = p[f"{s}_conv2_0"]["kernel"] * s2  # (2D, H), no bias
+    D = v0.shape[-1]
+    w2g, w2l = k2[:D], k2[D:]  # concat([global, local]) row split
+    w3 = p[f"{s}_conv2_1"]["kernel"] * s3  # (H, D), no bias
+    return (w01, c01, w2g, w2l, t2, w3, t3)

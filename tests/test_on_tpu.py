@@ -63,35 +63,48 @@ class TestFusedSelection:
         assert bound._fused_ok(8, BENCH_G, train=False)
         assert not bound._fused_ok(8, BENCH_G, train=True)
 
+    def test_p3_embed_selects_fused_kernel(self):
+        from pointvit_tpu.nn.pointnet import P3Embed
+
+        emb = P3Embed(embed_dim=32, k=4, dtype=jnp.bfloat16)
+        pts = jnp.zeros((2, 64, 3))
+        variables = emb.init({"params": jax.random.PRNGKey(0)}, pts, pts)
+        bound = emb.bind(variables)
+        assert bound._fused_stage_ok(32, 0, train=False)
+        assert not bound._fused_stage_ok(32, 0, train=True)
+        assert not bound._fused_stage_ok(28, 0, train=False)  # % 16 gate
+
     def test_apf_block_selects_fused(self):
-        from pointvit_tpu.nn.vit import APFBlock
+        from pointvit_tpu.nn.vit import APFBlock, _fused_block_ok
 
         blk = APFBlock(num_heads=4, dtype=jnp.bfloat16)
         x = jnp.zeros((2, 8, 64))
         variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
-        assert blk.bind(variables)._fused_ok(True)
-        assert not blk.bind(variables)._fused_ok(False)  # training
+        bound = blk.bind(variables)
+        assert _fused_block_ok(bound, x, True, "norm1", not blk.quantized)
+        assert not _fused_block_ok(bound, x, False, "norm1", True)  # training
 
     def test_vit_block_selects_fused(self):
-        from pointvit_tpu.nn.vit import ViTBlock
+        from pointvit_tpu.nn.vit import ViTBlock, _fused_block_ok
 
         blk = ViTBlock(num_heads=4, dtype=jnp.bfloat16)
         x = jnp.zeros((2, 8, 64))
         variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
-        assert blk.bind(variables)._fused_ok(True)
-        assert not blk.bind(variables)._fused_ok(False)  # training
-        assert not ViTBlock(num_heads=4, implementation="attn").bind(
-            variables
-        )._fused_ok(True)
+        bound = blk.bind(variables)
+        assert _fused_block_ok(bound, x, True, "norm1", blk.mlp_ratio == 4.0)
+        assert not _fused_block_ok(bound, x, False, "norm1", True)  # training
+        attn_only = ViTBlock(num_heads=4, implementation="attn").bind(variables)
+        assert not _fused_block_ok(attn_only, x, True, "norm1", True)
 
     def test_serial_block_selects_fused(self):
-        from pointvit_tpu.nn.vit import SerialAdapterBlock
+        from pointvit_tpu.nn.vit import SerialAdapterBlock, _fused_block_ok
 
         blk = SerialAdapterBlock(num_heads=4, dtype=jnp.bfloat16)
         x = jnp.zeros((2, 8, 64))
         variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
-        assert blk.bind(variables)._fused_ok(True)
-        assert not blk.bind(variables)._fused_ok(False)  # training
+        bound = blk.bind(variables)
+        assert _fused_block_ok(bound, x, True, "ln_1", blk.mlp_ratio == 4.0)
+        assert not _fused_block_ok(bound, x, False, "ln_1", True)  # training
 
 
 class TestFusedEqualsXLAOnDevice:
@@ -194,6 +207,31 @@ class TestFusedEqualsXLAOnDevice:
         exact_at_idx = knn_gather(feats, idx_p)
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(exact_at_idx), atol=2e-4, rtol=2e-4,
+        )
+
+    def test_p3_embed_fused_matches_xla(self):
+        """Fused P3Embed stage kernel (BN folds + conv1-pair collapse +
+        concat split) vs the forced-XLA conv stack, on the chip — the
+        folds are bit-sensitive rewrites interpret tests can't fully pin
+        (CLAUDE.md bf16-round-trip trap class)."""
+        from pointvit_tpu.nn.pointnet import P3Embed
+
+        emb = P3Embed(embed_dim=384, k=16, dtype=jnp.bfloat16)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (8, 1024, 3), jnp.float32)
+        variables = emb.init(jax.random.PRNGKey(1), pts, pts, train=False)
+        ref = P3Embed(embed_dim=384, k=16, dtype=jnp.bfloat16, implementation="xla")
+
+        c_f, f_fused = jax.jit(
+            lambda v, p: emb.apply(v, p, p, train=False)
+        )(variables, pts)
+        c_x, f_xla = jax.jit(
+            lambda v, p: ref.apply(v, p, p, train=False)
+        )(variables, pts)
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_x))
+        np.testing.assert_allclose(
+            np.asarray(f_fused, np.float32),
+            np.asarray(f_xla, np.float32),
+            atol=0.15, rtol=0.05,  # bf16 accumulation-order differences
         )
 
 
