@@ -52,7 +52,7 @@ def main() -> None:
     _require_backend()
     enable_compilation_cache()
 
-    batch = 256
+    batch = int(os.environ.get("POINTVIT_BENCH_BATCH", "256"))
     num_points = 1024
 
     # Preset selection. The default is the fastest arm ACCEPTED by the r3
@@ -73,9 +73,9 @@ def main() -> None:
     # The default is set mechanically by scripts/adjudicate_bench_default.py
     # (results/parity_r3/bench_default_decision.json): fastest arm that is
     # BOTH instrument-ACCEPTED and has a *measured* on-device clouds/s, with
-    # the neg_k8 negative control verified REJECTED. As of r4 that is slim
-    # (2511.9 measured r2); v2 is accepted (+7.4 pp, CI [+2.8, +12.1]) but
-    # unmeasured until benchmarks/preset_throughput.py runs on TPU recovery.
+    # the neg_k8 negative control verified REJECTED. As of r4 that is v2
+    # (accepted +7.4 pp, CI [+2.8, +12.1]; measured 3094.1 clouds/s by
+    # benchmarks/preset_throughput.py, confirmed 3091.6 by this script).
     DEFAULT_PRESET = "v2"
     name = os.environ.get("POINTVIT_BENCH_PRESET", DEFAULT_PRESET)
     if os.environ.get("POINTVIT_BENCH_EXACT", "") == "1":
