@@ -60,7 +60,7 @@ def main() -> None:
     # scripts/parity_instrument.py, results/parity_r3/summary.json); the
     # reference-exact architecture is always available via
     # POINTVIT_BENCH_EXACT=1, and any instrument arm via
-    # POINTVIT_BENCH_PRESET=<exact|slim|v2|k24|g160|slim_k24|stack>.
+    # POINTVIT_BENCH_PRESET=<exact|slim|v2|k24|g160|slim_k24|stack|v3>.
     PRESETS = {
         "exact": {},
         "slim": {"encoder_second_width": 768},
@@ -69,6 +69,7 @@ def main() -> None:
         "g160": {"npoint": 160},
         "slim_k24": {"encoder_second_width": 768, "nsample": 24},
         "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
     }
     # The default is set mechanically by scripts/adjudicate_bench_default.py
     # (results/parity_r3/bench_default_decision.json): fastest arm that is

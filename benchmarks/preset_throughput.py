@@ -29,6 +29,7 @@ ARMS: dict[str, dict] = {
     "g160": {"npoint": 160},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
     "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
 }
 
 

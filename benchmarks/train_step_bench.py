@@ -27,8 +27,10 @@ import optax
 ARMS: dict[str, dict] = {
     "exact": {"remat_encoder": True},  # batch-256 exact OOMs HBM without it
     "slim": {"encoder_second_width": 768},
+    "v2": {"encoder_second_width": 768, "nsample": 16},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
     "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
 }
 
 

@@ -69,6 +69,10 @@ ARMS: dict[str, dict] = {
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
     # stacked maximal candidate: every individually-plausible cut at once
     "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
+    # v2 + npoint 160 (phase-3, r4): composes the two ACCEPTED cuts (slim,
+    # K=16) with the remaining structural one (G=160). Declared before any
+    # seed ran — see results/parity_r3/PHASE3.md.
+    "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
     # negative control: K=8 starves the group encoder of local geometry —
     # expected to REGRESS. If the instrument accepts this arm too, it has
     # no discriminative power and cannot certify the serving preset.

@@ -44,6 +44,7 @@ def _last_json(stdout: str):
         ("preset_throughput.py", ["exact", "v2", "--tiny"], ["exact", "v2"]),
         ("train_step_bench.py", ["exact", "slim", "--tiny"], ["exact", "slim"]),
         ("pix4point_anatomy.py", ["--tiny"], ["full_model_ms", "attention_ms"]),
+        ("apf_anatomy.py", ["v2", "--tiny"], ["full_model_ms", "encoder_ms"]),
         (
             "renderer_fused_bench.py",
             ["--tiny"],
