@@ -33,6 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+PRESETS = {
+    "exact": {},
+    "slim": {"encoder_second_width": 768},
+    "v2": {"encoder_second_width": 768, "nsample": 16},
+    "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+}
+
 
 def main() -> None:
     from pointvit_tpu.models.factory import build_model
@@ -47,6 +54,13 @@ def main() -> None:
         "npoint": 196, "nsample": 32, "depth": 12, "num_heads": 12,
         "bf16": True,
     }
+    # --preset <name>: serve an instrument arm instead of the exact
+    # architecture (e.g. the adjudicated bench default, v2). Same tables as
+    # bench.py / scripts/parity_instrument.py (consistency-tested).
+    preset = "exact"
+    if "--preset" in sys.argv:
+        preset = sys.argv[sys.argv.index("--preset") + 1]
+        model_config.update(PRESETS[preset])
     if tiny:
         model_config.update(embedding_dim=32, npoint=16, nsample=8, depth=2,
                             num_heads=4, bf16=False)
@@ -62,7 +76,7 @@ def main() -> None:
         buckets=buckets,
     )
     rng = np.random.default_rng(1)
-    out: dict = {"buckets": {}}
+    out: dict = {"preset": preset, "buckets": {}}
 
     for b in buckets:
         clouds = rng.standard_normal((b, num_points, 3)).astype(np.float32)
