@@ -319,3 +319,41 @@ class TestExportOnDevice:
             np.asarray(ref, np.float32),
             atol=0.25, rtol=0.05,
         )
+
+
+class TestMoEOnDevice:
+    def test_moe_pix4point_forward_and_grad(self):
+        """The MoE trunk (dense single-device dispatch, parallel/expert.py)
+        compiles and runs on the real chip — fwd logits and a train-mode
+        gradient through the router/experts/aux-loss are finite. CPU CI
+        exercises this only on the virtual mesh; this pins the Mosaic/XLA
+        lowering on hardware (first run r4: fwd 8.0 s compile, grad 50.7 s)."""
+        from pointvit_tpu.models.pix4point import Pix4Point
+
+        model = Pix4Point(
+            num_classes=15, embed_dim=384, depth=4, num_heads=6,
+            k_neighbors=16, moe_experts=4, moe_every=2, moe_top_k=2,
+            dtype=jnp.bfloat16,
+        )
+        pts = jax.random.normal(jax.random.PRNGKey(0), (16, P3_N // 2, 3),
+                                jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(1)}, pts[:1])
+        logits = jax.jit(lambda v, p: model.apply(v, p, train=False))(
+            variables, pts)
+        assert logits.shape == (16, 15)
+        assert bool(jnp.isfinite(logits).all())
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {**variables, "params": params}, pts, train=True,
+                rngs={"dropout": jax.random.PRNGKey(2),
+                      "fps": jax.random.PRNGKey(3)},
+                mutable=["batch_stats", "moe_aux"],
+            )
+            aux = mut.get("moe_aux", {})
+            bal = sum(jax.tree.leaves(aux)) if aux else 0.0
+            return jnp.mean((out - 1.0) ** 2) + 0.01 * bal
+
+        g = jax.jit(jax.grad(loss_fn))(variables["params"])
+        gn = float(jax.tree.reduce(lambda a, l: a + jnp.sum(jnp.abs(l)), g, 0.0))
+        assert np.isfinite(gn) and gn > 0.0
