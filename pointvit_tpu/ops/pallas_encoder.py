@@ -56,6 +56,21 @@ def _dot(a, b):
     )
 
 
+def _tile_groups(M: int, K: int, block_groups: int | None) -> int:
+    """Groups per grid step. Measured (r4, on-device sweeps at K=16 — APF
+    encoder M=50176: T 16/32/64/128 → 17.12/16.66/16.37/16.22 ms; P3 stage
+    M=32768: 5.31/5.09/4.95/4.83 ms): larger tiles amortize the per-step
+    weight reloads/pipeline better at K=16 and flatten by T=128. At K=32
+    the r2 bench-shape sweep measured T=64 *worse* (58.8 vs 52.3 ms — VMEM
+    pressure at 2048-row matmuls), so big tiles apply only at K ≤ 16."""
+    if block_groups:
+        return block_groups
+    for T in (128, 64, 32, 16) if K <= 16 else (32, 16):
+        if M % T == 0:
+            return T
+    return 16
+
+
 def _enc_kernel(T, K, x_ref, w0, c0, w1, c1, w2, b2, wg, wl, c2, w3, b3, o_ref):
     C = x_ref.shape[-1]
     E = w2.shape[-1]
@@ -79,9 +94,7 @@ def _encoder_pallas(x, weights, *, block_groups: int | None = None, interpret: b
     """x: (M, K, C) grouped point features; weights: 11-tuple of folded arrays."""
     M, K, C = x.shape
     E = weights[4].shape[-1]  # w2: (512, E)
-    # T=32 measured fastest at the bench shape (52.3 vs 53.1 ms at T=16,
-    # 58.8 at T=64 — VMEM pressure); fall back to 16 when 32 doesn't divide.
-    T = block_groups if block_groups else (32 if M % 32 == 0 else 16)
+    T = _tile_groups(M, K, block_groups)
     assert M % T == 0, (M, T)
     dt = x.dtype
     row = lambda v: v.reshape(1, -1).astype(dt)
@@ -225,7 +238,7 @@ def _p3_pallas(x, weights, *, block_groups: int | None = None, interpret: bool =
     M, K, C = x.shape
     w01, c01, w2g, w2l, c2, w3, c3 = weights
     D = w01.shape[-1]
-    T = block_groups if block_groups else (32 if M % 32 == 0 else 16)
+    T = _tile_groups(M, K, block_groups)
     assert M % T == 0, (M, T)
     dt = x.dtype
     row = lambda v: v.reshape(1, -1).astype(dt)
