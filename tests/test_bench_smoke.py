@@ -50,7 +50,7 @@ def _last_json(stdout: str):
             ["--tiny"],
             ["fused_blocks_ms", "attn_only_ms", "speedup"],
         ),
-        ("serve_bench.py", ["--tiny"], ["buckets"]),
+        ("serve_bench.py", ["--tiny", "--preset", "v2"], ["buckets"]),
         (
             "pix4point_bench.py",
             ["--batch", "4", "--points", "256", "--iters", "1"],
