@@ -245,6 +245,7 @@ class APFTrainer(Trainer):
             trainable_mask=mask,
             prefetch=train_config.get("prefetch", 2),
             nan_guard=train_config.get("nan_guard"),
+            grad_accum=train_config.get("grad_accum", 1),
         )
 
         pretrained = model_config.get("pretrained", True)

@@ -135,6 +135,7 @@ class Pix4PointTrainer(Trainer):
             trainable_mask=trainable,
             prefetch=train_config.get("prefetch", 2),
             nan_guard=train_config.get("nan_guard"),
+            grad_accum=train_config.get("grad_accum", 1),
         )
 
         if model_config.get("pretrained", True):

@@ -133,6 +133,7 @@ class RendererTrainer(Trainer):
             epoch_hooks=(_save_views_hook,),
             prefetch=train_config.get("prefetch", 2),
             nan_guard=train_config.get("nan_guard"),
+            grad_accum=train_config.get("grad_accum", 1),
         )
 
         if model_config.get("pretrained", True):

