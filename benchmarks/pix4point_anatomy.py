@@ -94,6 +94,29 @@ def main() -> None:
     float(tok(pts))
     out["p3_group_ms"] = _time(tok, (pts,)) * 1e3
 
+    # 2b. full P3Embed stage (grouping + fused conv stages → tokens): its
+    # time minus p3_group is the conv/encode part of the tokenizer
+    from pointvit_tpu.nn.heads import ClsHead
+    from pointvit_tpu.nn.pointnet import P3Embed
+
+    embed = P3Embed(k=16, dtype=jnp.bfloat16)
+    evars = embed.init({"params": jax.random.PRNGKey(3)}, pts[:1], pts[:1])
+    def _ef(v, p):
+        centers, tokens = embed.apply(v, p, p, train=False)
+        return jnp.sum(tokens) + jnp.sum(centers.astype(jnp.float32))
+
+    efwd = jax.jit(_ef)
+    float(efwd(evars, pts))
+    out["p3_embed_total_ms"] = _time(efwd, (evars, pts)) * 1e3
+
+    # 2c. classifier head on the (B, 2E) global feature
+    head = ClsHead(15, dtype=jnp.bfloat16)
+    feat = jax.random.normal(key, (B, 2 * E), jnp.bfloat16)
+    hvars = head.init({"params": jax.random.PRNGKey(4)}, feat[:1])
+    hfwd = jax.jit(lambda v, f: jnp.sum(head.apply(v, f, train=False)))
+    float(hfwd(hvars, feat))
+    out["head_ms"] = _time(hfwd, (hvars, feat)) * 1e3
+
     # 3. isolated ViT block fwd, slope-fit (n chained blocks per dispatch):
     # auto (fused whole-block, r4) vs 'attn' (XLA glue + fused attention, r3)
     xb = jax.random.normal(key, (B, S, E), jnp.bfloat16)
@@ -157,8 +180,12 @@ def main() -> None:
     out["attention_tflops"] = aflops / (out["attention_ms"] / 1e3) / 1e12
 
     out["blocks_x12_ms"] = out["vit_block_ms"] * 12
+    out["embed_conv_ms"] = out["p3_embed_total_ms"] - out["p3_group_ms"]
     out["unattributed_ms"] = (
-        out["full_model_ms"] - out["p3_group_ms"] - out["blocks_x12_ms"]
+        out["full_model_ms"]
+        - out["p3_embed_total_ms"]
+        - out["blocks_x12_ms"]
+        - out["head_ms"]
     )
     print(json.dumps({k: round(v, 3) for k, v in out.items()}, indent=1))
 

@@ -357,3 +357,40 @@ class TestMoEOnDevice:
         g = jax.jit(jax.grad(loss_fn))(variables["params"])
         gn = float(jax.tree.reduce(lambda a, l: a + jnp.sum(jnp.abs(l)), g, 0.0))
         assert np.isfinite(gn) and gn > 0.0
+
+
+class TestGradAccumOnDevice:
+    def test_scan_accum_matches_full_batch(self, tmp_path):
+        """Trainer(grad_accum=4) reproduces the full-batch trajectory on the
+        real chip for a deterministic (rng-free) model — pins the in-step
+        lax.scan accumulation lowering on hardware. TPU reassociates matmul
+        accumulation, so the tolerance is looser than the CPU highest-
+        precision test (measured r4: worst relative divergence 4e-5)."""
+        import flax.linen as nn
+        import optax
+
+        from pointvit_tpu.train import Trainer
+
+        class MLP(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = x.reshape((x.shape[0], -1))
+                x = nn.tanh(nn.Dense(128)(x))
+                return nn.Dense(15)(x)
+
+        rng = np.random.default_rng(0)
+        data = [(rng.normal(size=(64, 3)).astype(np.float32), i % 15)
+                for i in range(128)]
+
+        trees = {}
+        for ga in (1, 4):
+            t = Trainer(
+                MLP(), train_dataset=data, test_dataset=data[:16],
+                optimizer=optax.adam(1e-3), batch_size=64, epochs=1,
+                output_dir=str(tmp_path / f"ga{ga}"), save_best=False,
+                save_config_snapshot=False, prefetch=0, grad_accum=ga,
+            )
+            t.train()
+            trees[ga] = jax.device_get(jax.tree.leaves(t.state.params))
+        for a, b in zip(trees[1], trees[4]):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
