@@ -89,10 +89,26 @@ def main() -> None:
     float(fwd_attn(variables, pts))
     out["full_model_attn_only_ms"] = _time(fwd_attn, (variables, pts)) * 1e3
 
-    # 2. tokenizer grouping (FPS+kNN): p3_group at the model's shape
+    # 2. tokenizer grouping (FPS+kNN): p3_group at the model's shape.
+    # Both a plain queued-dispatch timing and a slope fit (chained via an
+    # un-foldable 1e-30-scaled scalar so XLA can't CSE or parallelize the
+    # iterations) — the small arms otherwise carry ~1 ms/dispatch of queue
+    # overhead that over-attributes them (seen as negative unattributed).
     tok = jax.jit(lambda p: jnp.sum(p3_group(p, p, S - 1, 16)[1]))
     float(tok(pts))
     out["p3_group_ms"] = _time(tok, (pts,)) * 1e3
+
+    def group_chain(n):
+        def f(p):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n):
+                s = jnp.sum(p3_group(p, p, S - 1, 16)[1].astype(jnp.float32))
+                acc = acc + s
+                p = p + (s * 1e-30).astype(p.dtype)
+            return acc
+        return f
+
+    out["p3_group_slope_ms"] = _slope(group_chain, (pts,)) * 1e3
 
     # 2b. full P3Embed stage (grouping + fused conv stages → tokens): its
     # time minus p3_group is the conv/encode part of the tokenizer
@@ -109,6 +125,21 @@ def main() -> None:
     float(efwd(evars, pts))
     out["p3_embed_total_ms"] = _time(efwd, (evars, pts)) * 1e3
 
+    def embed_chain(n):
+        def f(v, p):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n):
+                centers, tokens = embed.apply(v, p, p, train=False)
+                s = jnp.sum(tokens.astype(jnp.float32)) + jnp.sum(
+                    centers.astype(jnp.float32)
+                )
+                acc = acc + s
+                p = p + (s * 1e-30).astype(p.dtype)
+            return acc
+        return f
+
+    out["p3_embed_slope_ms"] = _slope(embed_chain, (evars, pts)) * 1e3
+
     # 2c. classifier head on the (B, 2E) global feature
     head = ClsHead(15, dtype=jnp.bfloat16)
     feat = jax.random.normal(key, (B, 2 * E), jnp.bfloat16)
@@ -116,6 +147,18 @@ def main() -> None:
     hfwd = jax.jit(lambda v, f: jnp.sum(head.apply(v, f, train=False)))
     float(hfwd(hvars, feat))
     out["head_ms"] = _time(hfwd, (hvars, feat)) * 1e3
+
+    def head_chain(n):
+        def f(v, x):
+            for _ in range(n):
+                logits = head.apply(v, x, train=False)
+                x = jnp.tile(logits, (1, (2 * E) // 15 + 1))[:, : 2 * E].astype(
+                    x.dtype
+                )
+            return x
+        return f
+
+    out["head_slope_ms"] = _slope(head_chain, (hvars, feat)) * 1e3
 
     # 3. isolated ViT block fwd, slope-fit (n chained blocks per dispatch):
     # auto (fused whole-block, r4) vs 'attn' (XLA glue + fused attention, r3)
@@ -180,12 +223,12 @@ def main() -> None:
     out["attention_tflops"] = aflops / (out["attention_ms"] / 1e3) / 1e12
 
     out["blocks_x12_ms"] = out["vit_block_ms"] * 12
-    out["embed_conv_ms"] = out["p3_embed_total_ms"] - out["p3_group_ms"]
+    out["embed_conv_ms"] = out["p3_embed_slope_ms"] - out["p3_group_slope_ms"]
     out["unattributed_ms"] = (
         out["full_model_ms"]
-        - out["p3_embed_total_ms"]
+        - out["p3_embed_slope_ms"]
         - out["blocks_x12_ms"]
-        - out["head_ms"]
+        - out["head_slope_ms"]
     )
     print(json.dumps({k: round(v, 3) for k, v in out.items()}, indent=1))
 

@@ -246,6 +246,8 @@ class APFTrainer(Trainer):
             prefetch=train_config.get("prefetch", 2),
             nan_guard=train_config.get("nan_guard"),
             grad_accum=train_config.get("grad_accum", 1),
+            ema_decay=train_config.get("ema_decay"),
+            ema_eval=train_config.get("ema_eval", True),
         )
 
         pretrained = model_config.get("pretrained", True)

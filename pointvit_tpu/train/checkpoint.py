@@ -110,6 +110,8 @@ def save_checkpoint(
         "step": int(state.step),
         "accuracy": float(accuracy),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = jax.device_get(state.ema_params)
     path = os.path.join(output_dir, filename)
     # to_state_dict first: optax states are NamedTuples msgpack can't pack raw.
     blob = serialization.msgpack_serialize(
@@ -193,6 +195,15 @@ def load_checkpoint(path: str, state: Any | None = None) -> dict:
             "step": 0,
             "accuracy": 0.0,
         }
+        # ema_params is optional on both sides: template it only when the
+        # file carries it (an EMA trainer resuming a pre-EMA checkpoint
+        # seeds the average from params), and drop it when the file has it
+        # but the caller's state doesn't track one.
+        has_ema = isinstance(raw, dict) and "ema_params" in raw
+        if has_ema and getattr(state, "ema_params", None) is not None:
+            template["ema_params"] = jax.device_get(state.ema_params)
+        elif has_ema:
+            raw = {k: v for k, v in raw.items() if k != "ema_params"}
         raw = serialization.from_state_dict(template, raw)
     meta_path = path + ".json"
     if os.path.exists(meta_path):

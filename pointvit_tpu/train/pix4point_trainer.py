@@ -136,6 +136,8 @@ class Pix4PointTrainer(Trainer):
             prefetch=train_config.get("prefetch", 2),
             nan_guard=train_config.get("nan_guard"),
             grad_accum=train_config.get("grad_accum", 1),
+            ema_decay=train_config.get("ema_decay"),
+            ema_eval=train_config.get("ema_eval", True),
         )
 
         if model_config.get("pretrained", True):

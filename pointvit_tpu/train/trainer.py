@@ -54,6 +54,8 @@ class TrainingDivergedError(RuntimeError):
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    # Exponential moving average of params (None unless Trainer(ema_decay=)).
+    ema_params: Any = None
 
 
 def cross_entropy_loss(
@@ -161,6 +163,8 @@ class Trainer:
         prefetch: int = 2,
         nan_guard: str | None = None,
         grad_accum: int = 1,
+        ema_decay: float | None = None,
+        ema_eval: bool = True,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -204,6 +208,17 @@ class Trainer:
             raise ValueError(f"nan_guard must be None|'skip'|'raise', got {nan_guard!r}")
         self.nan_guard = nan_guard
         self.nan_skipped_total = 0
+        # Polyak/EMA weight averaging (beyond-reference; standard for ViT
+        # finetuning): ema' = ema + (1-d)·(p - ema) after each applied step,
+        # inside the same jit'd graph. d=0.0 tracks params exactly; frozen
+        # params are an exact fixed point (ema starts equal and p never
+        # moves), so the checkpoint frozen-leaf cache stays valid for the
+        # EMA tree too. With ema_eval (default), test epochs and predict()
+        # run on the averaged weights; training always uses the raw params.
+        if ema_decay is not None and not (0.0 <= ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
+        self.ema_decay = ema_decay
+        self._eval_uses_ema = ema_decay is not None and ema_eval
         self._base_key = jax.random.PRNGKey(seed)
 
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -332,6 +347,19 @@ class Trainer:
                 jnp.copy(p) if m else None
                 for p, m in zip(flat_params, flat_mask)
             ]
+        # EMA leaves snapshot the same way; frozen EMA leaves equal the
+        # frozen params exactly (fixed point of the update), so the host
+        # frozen cache serves both trees.
+        ema_copies = None
+        if self.ema_decay is not None:
+            flat_ema = jax.tree.leaves(self.state.ema_params)
+            if flat_mask is None:
+                ema_copies = [jnp.copy(p) for p in flat_ema]
+            else:
+                ema_copies = [
+                    jnp.copy(p) if m else None
+                    for p, m in zip(flat_ema, flat_mask)
+                ]
         bs_copy = jax.tree.map(jnp.copy, self.state.batch_stats)
         opt_copy = jax.tree.map(
             lambda x: jnp.copy(x) if hasattr(x, "shape") else x,
@@ -340,22 +368,28 @@ class Trainer:
         step_copy = jnp.copy(self.state.step)
         frozen = self._frozen_host
 
-        def fetch():
+        def _merge(copies):
             if flat_mask is None:
-                leaves = jax.device_get(param_copies)
-            else:
-                fetched = jax.device_get([c for c in param_copies if c is not None])
-                it = iter(fetched)
-                leaves = [
-                    next(it) if m else cached
-                    for m, cached in zip(flat_mask, frozen)
-                ]
-            return {
-                "params": jax.tree.unflatten(treedef, leaves),
+                return jax.device_get(copies)
+            fetched = jax.device_get([c for c in copies if c is not None])
+            it = iter(fetched)
+            return [
+                next(it) if m else cached
+                for m, cached in zip(flat_mask, frozen)
+            ]
+
+        def fetch():
+            payload = {
+                "params": jax.tree.unflatten(treedef, _merge(param_copies)),
                 "batch_stats": jax.device_get(bs_copy),
                 "opt_state": jax.device_get(opt_copy),
                 "step": int(step_copy),
             }
+            if ema_copies is not None:
+                payload["ema_params"] = jax.tree.unflatten(
+                    treedef, _merge(ema_copies)
+                )
+            return payload
 
         return fetch
 
@@ -379,6 +413,11 @@ class Trainer:
             tx=self.optimizer,
             batch_stats=batch_stats,
         )
+        if self.ema_decay is not None:
+            # Distinct buffers, NOT an alias of params: the train step
+            # donates the whole state, and a twice-donated buffer wedges
+            # the backend (observed as a stuck XLA:CPU collective).
+            state = state.replace(ema_params=jax.tree.map(jnp.copy, params))
         return replicate(state, self.mesh)
 
     # -- steps ------------------------------------------------------------
@@ -505,6 +544,20 @@ class Trainer:
         new_state = state.apply_gradients(grads=grads).replace(
             batch_stats=new_stats
         )
+        if self.ema_decay is not None:
+            decay = jnp.float32(self.ema_decay)
+            # e·d + (1−d)·p (not e + (1−d)(p−e)): exact p at d=0, and the
+            # f32 accumulate guards bf16 param trees against stagnation.
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: (
+                        e.astype(jnp.float32) * decay
+                        + (1.0 - decay) * p.astype(jnp.float32)
+                    ).astype(e.dtype),
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
         if self.nan_guard != "skip":
             return new_state, loss, correct, jnp.zeros((), jnp.int32)
         finite = jnp.isfinite(loss)
@@ -521,7 +574,9 @@ class Trainer:
         return state, loss, correct, (~finite).astype(jnp.int32)
 
     def _eval_step_impl(self, state: TrainState, points, labels, weights):
-        variables = {"params": state.params}
+        variables = {
+            "params": state.ema_params if self._eval_uses_ema else state.params
+        }
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         logits = self.model.apply(variables, points, train=False)
@@ -713,6 +768,16 @@ class Trainer:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+        if self.ema_decay is not None:
+            # Checkpoints written without EMA seed the average from the
+            # restored params (the EMA then converges from there). Copy —
+            # never alias params' buffers in a donated state.
+            self.state = self.state.replace(
+                ema_params=jax.tree.map(
+                    lambda x: jnp.array(np.asarray(x)),
+                    restored.get("ema_params", restored["params"]),
+                )
+            )
         self.state = replicate(self.state, self.mesh)
         self._refresh_frozen_cache()
         # Resume bookkeeping: continue the epoch loop after the restored
@@ -795,7 +860,11 @@ class Trainer:
 
     def predict(self, points: np.ndarray) -> np.ndarray:
         """Class predictions for a batch of clouds (renderer_trainer.py:431-445)."""
-        variables = {"params": self.state.params}
+        variables = {
+            "params": self.state.ema_params
+            if self._eval_uses_ema
+            else self.state.params
+        }
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
         logits = self.model.apply(variables, jnp.asarray(points), train=False)
