@@ -26,6 +26,11 @@ import optax
 
 ARMS: dict[str, dict] = {
     "exact": {"remat_encoder": True},  # batch-256 exact OOMs HBM without it
+    # grad-accum arms: the OTHER memory strategy for the exact config —
+    # microbatch the step (Trainer(grad_accum=N) semantics) instead of
+    # rematerializing the encoder; recompute-free backward vs scan overhead
+    "exact_ga2": {"grad_accum": 2},
+    "exact_ga4": {"grad_accum": 4},
     "slim": {"encoder_second_width": 768},
     "v2": {"encoder_second_width": 768, "nsample": 16},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
@@ -54,6 +59,7 @@ def main() -> None:
             nsample=32, depth=12, num_heads=12, dtype=jnp.bfloat16,
         )
         kwargs.update(ARMS[arm])
+        grad_accum = kwargs.pop("grad_accum", 1)
         if tiny:
             kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
                           dtype=jnp.float32)
@@ -89,9 +95,35 @@ def main() -> None:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(p, bs, s, pts, y, key):
-            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, bs, pts, y, key
-            )
+            if grad_accum == 1:
+                (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, bs, pts, y, key
+                )
+            else:
+                micro = pts.shape[0] // grad_accum
+                pm = jnp.moveaxis(
+                    pts.reshape(micro, grad_accum, *pts.shape[1:]), 1, 0
+                )
+                ym = jnp.moveaxis(y.reshape(micro, grad_accum), 1, 0)
+
+                def body(carry, xs):
+                    bs_c, gsum, lsum = carry
+                    i, pp, yy = xs
+                    (l, bs_c), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        p, bs_c, pp, yy, jax.random.fold_in(key, i)
+                    )
+                    gsum = jax.tree.map(jnp.add, gsum, g)
+                    return (bs_c, gsum, lsum + l), None
+
+                zeros = jax.tree.map(jnp.zeros_like, p)
+                (bs, gsum, lsum), _ = jax.lax.scan(
+                    body,
+                    (bs, zeros, jnp.zeros((), jnp.float32)),
+                    (jnp.arange(grad_accum), pm, ym),
+                )
+                inv = 1.0 / grad_accum
+                grads = jax.tree.map(lambda g: g * jnp.asarray(inv, g.dtype), gsum)
+                loss = lsum * inv
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return p, bs, s, loss

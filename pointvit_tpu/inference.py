@@ -89,9 +89,13 @@ class Classifier:
         batch_size: int = 64,
         bf16: bool = True,
         seed: int = 0,
+        use_ema: bool = True,
     ) -> "Classifier":
         """Build a classifier; restore weights from one of our msgpack
-        checkpoints or a reference torch checkpoint if given."""
+        checkpoints or a reference torch checkpoint if given. Checkpoints
+        written by an EMA trainer (``Trainer(ema_decay=...)``) deploy their
+        averaged weights by default — pass ``use_ema=False`` for the raw
+        params."""
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         model = _build_model(family, model_config, dtype)
         in_ch = model_config.get("in_channels", 3) if family == "apf" else 3
@@ -104,12 +108,18 @@ class Classifier:
 
             with open(checkpoint, "rb") as f:
                 raw = serialization.msgpack_restore(f.read())
+            params_raw = (
+                raw["ema_params"]
+                if use_ema and isinstance(raw, dict) and "ema_params" in raw
+                else raw["params"]
+            )
             template = {
                 "params": jax.device_get(variables["params"]),
                 "batch_stats": jax.device_get(variables.get("batch_stats", {})),
             }
             restored = serialization.from_state_dict(
-                template, {k: raw[k] for k in template}
+                template,
+                {"params": params_raw, "batch_stats": raw["batch_stats"]},
             )
             variables["params"] = restored["params"]
             if restored["batch_stats"]:

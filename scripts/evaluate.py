@@ -41,6 +41,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic data instead of reading --root")
+    parser.add_argument("--raw-weights", action="store_true",
+                        help="evaluate the raw params of an EMA checkpoint "
+                             "instead of the averaged weights")
     args = parser.parse_args()
 
     from pointvit_tpu.inference import Classifier
@@ -100,6 +103,7 @@ def main() -> None:
         reference_checkpoint=args.reference_checkpoint,
         example_points=args.num_points,
         batch_size=args.batch,
+        use_ema=not args.raw_weights,
     )
 
     points = np.stack([ds[i][0] for i in range(len(ds))])

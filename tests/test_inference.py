@@ -85,3 +85,40 @@ def test_reference_checkpoint_restore(tmp_path):
 def test_unknown_family():
     with pytest.raises(ValueError):
         Classifier.for_family("bogus", {})
+
+
+def test_ema_checkpoint_deploys_average(tmp_path):
+    """An EMA-trainer checkpoint restores ema_params as the serving weights
+    by default; use_ema=False restores the raw params."""
+    from pointvit_tpu.train.checkpoint import save_checkpoint
+    from pointvit_tpu.train.trainer import TrainState
+    import optax
+
+    cfg = _tiny_apf_config()
+    clf = Classifier.for_family("apf", cfg, example_points=64, batch_size=4, bf16=False)
+    params = jax.tree.map(lambda x: x + 1.0, clf.variables["params"])
+    ema = jax.tree.map(lambda x: x + 2.0, clf.variables["params"])
+    state = TrainState.create(
+        apply_fn=None, params=params, tx=optax.sgd(1e-3),
+        batch_stats=clf.variables.get("batch_stats", {}),
+    ).replace(ema_params=ema)
+    path = save_checkpoint(
+        str(tmp_path), "model_best.msgpack", epoch=0, state=state,
+        accuracy=0.5, model_config=cfg, dataset_config={},
+        async_write=False,
+    )
+    got_ema = Classifier.for_family(
+        "apf", cfg, checkpoint=path, example_points=64, batch_size=4, bf16=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got_ema.variables["params"])[0]),
+        np.asarray(jax.tree.leaves(ema)[0]),
+    )
+    got_raw = Classifier.for_family(
+        "apf", cfg, checkpoint=path, example_points=64, batch_size=4,
+        bf16=False, use_ema=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got_raw.variables["params"])[0]),
+        np.asarray(jax.tree.leaves(params)[0]),
+    )
