@@ -100,30 +100,20 @@ def main() -> None:
                     p, bs, pts, y, key
                 )
             else:
-                micro = pts.shape[0] // grad_accum
-                pm = jnp.moveaxis(
-                    pts.reshape(micro, grad_accum, *pts.shape[1:]), 1, 0
-                )
-                ym = jnp.moveaxis(y.reshape(micro, grad_accum), 1, 0)
+                # the Trainer's accumulation core (same reshape/scan/average)
+                from pointvit_tpu.train.trainer import scan_microbatches
 
-                def body(carry, xs):
-                    bs_c, gsum, lsum = carry
-                    i, pp, yy = xs
-                    (l, bs_c), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                        p, bs_c, pp, yy, jax.random.fold_in(key, i)
+                def run_micro(stats, pp, yy, i):
+                    (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        p, stats, pp, yy, jax.random.fold_in(key, i)
                     )
-                    gsum = jax.tree.map(jnp.add, gsum, g)
-                    return (bs_c, gsum, lsum + l), None
+                    return l, jnp.zeros((), jnp.int32), stats, g
 
-                zeros = jax.tree.map(jnp.zeros_like, p)
-                (bs, gsum, lsum), _ = jax.lax.scan(
-                    body,
-                    (bs, zeros, jnp.zeros((), jnp.float32)),
-                    (jnp.arange(grad_accum), pm, ym),
+                loss, _, bs, grads = scan_microbatches(
+                    run_micro, bs, pts, y, grad_accum,
+                    zero_grads=jax.tree.map(jnp.zeros_like, p),
+                    zero_aux=jnp.zeros((), jnp.int32),
                 )
-                inv = 1.0 / grad_accum
-                grads = jax.tree.map(lambda g: g * jnp.asarray(inv, g.dtype), gsum)
-                loss = lsum * inv
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return p, bs, s, loss

@@ -108,10 +108,12 @@ class Classifier:
 
             with open(checkpoint, "rb") as f:
                 raw = serialization.msgpack_restore(f.read())
-            params_raw = (
-                raw["ema_params"]
-                if use_ema and isinstance(raw, dict) and "ema_params" in raw
-                else raw["params"]
+            ema = use_ema and isinstance(raw, dict) and "ema_params" in raw
+            params_raw = raw["ema_params"] if ema else raw["params"]
+            stats_raw = (
+                raw["ema_batch_stats"]
+                if ema and raw.get("ema_batch_stats")
+                else raw["batch_stats"]
             )
             template = {
                 "params": jax.device_get(variables["params"]),
@@ -119,7 +121,7 @@ class Classifier:
             }
             restored = serialization.from_state_dict(
                 template,
-                {"params": params_raw, "batch_stats": raw["batch_stats"]},
+                {"params": params_raw, "batch_stats": stats_raw},
             )
             variables["params"] = restored["params"]
             if restored["batch_stats"]:

@@ -109,14 +109,19 @@ class InferenceSession:
         model_config: dict | None = None,
         mesh: jax.sharding.Mesh | None = None,
         buckets: tuple[int, ...] = _DEFAULT_BUCKETS,
+        use_ema: bool = True,
     ) -> "InferenceSession":
         """Restore a trainer checkpoint (``*.msgpack`` + sidecar ``.json``).
 
         The sidecar's ``model_config`` rebuilds the architecture unless an
-        explicit ``model`` or ``model_config`` is given.
+        explicit ``model`` or ``model_config`` is given. Checkpoints from
+        an EMA trainer serve their averaged weights/stats by default
+        (``use_ema=False`` for the raw params) — same policy as
+        ``inference.Classifier``.
         """
         with open(path, "rb") as f:
             raw = serialization.msgpack_restore(f.read())
+        ema = use_ema and isinstance(raw, dict) and "ema_params" in raw
         if model is None:
             if model_config is None:
                 meta_path = path + ".json"
@@ -130,8 +135,10 @@ class InferenceSession:
             model = build_model(model_config, family=family)
         return cls(
             model,
-            raw["params"],
-            raw.get("batch_stats") or None,
+            raw["ema_params"] if ema else raw["params"],
+            (raw.get("ema_batch_stats") if ema else None)
+            or raw.get("batch_stats")
+            or None,
             mesh=mesh,
             buckets=buckets,
         )

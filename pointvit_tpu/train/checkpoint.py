@@ -112,6 +112,8 @@ def save_checkpoint(
     }
     if getattr(state, "ema_params", None) is not None:
         payload["ema_params"] = jax.device_get(state.ema_params)
+        ebs = getattr(state, "ema_batch_stats", None)
+        payload["ema_batch_stats"] = jax.device_get(ebs) if ebs is not None else {}
     path = os.path.join(output_dir, filename)
     # to_state_dict first: optax states are NamedTuples msgpack can't pack raw.
     blob = serialization.msgpack_serialize(
@@ -195,15 +197,20 @@ def load_checkpoint(path: str, state: Any | None = None) -> dict:
             "step": 0,
             "accuracy": 0.0,
         }
-        # ema_params is optional on both sides: template it only when the
-        # file carries it (an EMA trainer resuming a pre-EMA checkpoint
-        # seeds the average from params), and drop it when the file has it
-        # but the caller's state doesn't track one.
-        has_ema = isinstance(raw, dict) and "ema_params" in raw
-        if has_ema and getattr(state, "ema_params", None) is not None:
-            template["ema_params"] = jax.device_get(state.ema_params)
-        elif has_ema:
-            raw = {k: v for k, v in raw.items() if k != "ema_params"}
+        # The EMA trees are optional on both sides: template them only when
+        # the file carries them (an EMA trainer resuming a pre-EMA
+        # checkpoint seeds the average from params/stats), and drop them
+        # when the file has them but the caller's state doesn't track any.
+        for key, attr in (
+            ("ema_params", "ema_params"),
+            ("ema_batch_stats", "ema_batch_stats"),
+        ):
+            in_file = isinstance(raw, dict) and key in raw
+            tracked = getattr(state, attr, None) is not None
+            if in_file and tracked:
+                template[key] = jax.device_get(getattr(state, attr))
+            elif in_file:
+                raw = {k: v for k, v in raw.items() if k != key}
         raw = serialization.from_state_dict(template, raw)
     meta_path = path + ".json"
     if os.path.exists(meta_path):

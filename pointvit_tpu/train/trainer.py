@@ -42,6 +42,7 @@ __all__ = [
     "TrainingDivergedError",
     "cross_entropy_loss",
     "build_optimizer",
+    "scan_microbatches",
 ]
 
 
@@ -54,8 +55,54 @@ class TrainingDivergedError(RuntimeError):
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
-    # Exponential moving average of params (None unless Trainer(ema_decay=)).
+    # Exponential moving averages (None unless Trainer(ema_decay=)). Both
+    # trees are stored in f32 regardless of param dtype — a bf16-stored
+    # average stagnates (per-step increments below ~2^-9 of the leaf round
+    # away at high decay) — and must never alias params' buffers (the
+    # donated step wedges the backend on a twice-donated buffer).
     ema_params: Any = None
+    ema_batch_stats: Any = None
+
+
+def _ema_tree(tree):
+    """f32, freshly-copied EMA seed of a param/stat tree. Must COPY even
+    when the leaf is already f32 (jnp.array copies; jnp.asarray would
+    alias and re-create the twice-donated-buffer wedge)."""
+    return jax.tree.map(lambda x: jnp.array(x, dtype=jnp.float32), tree)
+
+
+def scan_microbatches(
+    run_micro, batch_stats, points, labels, accum, *, zero_grads, zero_aux
+):
+    """Shared gradient-accumulation core (Trainer and benchmarks).
+
+    Splits the global (B, ...) batch into ``accum`` microbatches with the
+    DP-layout-preserving reshape — (B, ...) → (B/A, A, ...), so row (i, a)
+    is global row i·A + a and the shard axis stays axis 0 — and scans
+    ``run_micro(stats, pts, lbl, idx) -> (loss, aux, new_stats, grads)``
+    over them, summing grads/loss/aux. ``zero_grads``/``zero_aux`` seed the
+    accumulators (typically ``tree.map(zeros_like, params)`` and a zero
+    scalar). Returns ``(mean_loss, aux_sum, final_stats, mean_grads)``.
+    """
+    micro = points.shape[0] // accum
+    pts_m = jnp.moveaxis(points.reshape(micro, accum, *points.shape[1:]), 1, 0)
+    lbl_m = jnp.moveaxis(labels.reshape(micro, accum), 1, 0)
+
+    def body(carry, xs):
+        stats, grad_sum, loss_sum, aux_sum = carry
+        idx, pts, lbl = xs
+        loss, aux, stats, grads = run_micro(stats, pts, lbl, idx)
+        grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+        return (stats, grad_sum, loss_sum + loss, aux_sum + aux), None
+
+    (final_stats, grad_sum, loss_sum, aux_sum), _ = jax.lax.scan(
+        body,
+        (batch_stats, zero_grads, jnp.zeros((), jnp.float32), zero_aux),
+        (jnp.arange(accum), pts_m, lbl_m),
+    )
+    inv = jnp.float32(1.0 / accum)
+    grads = jax.tree.map(lambda g: g * inv.astype(g.dtype), grad_sum)
+    return loss_sum * inv, aux_sum, final_stats, grads
 
 
 def cross_entropy_loss(
@@ -308,8 +355,15 @@ class Trainer:
 
     def replace_params(self, params) -> None:
         """Swap in a new param tree (e.g. pretrained/imported weights),
-        keeping the checkpoint frozen-leaf cache consistent."""
+        keeping the checkpoint frozen-leaf cache consistent and re-seeding
+        the EMA from the new weights (an average left on the random init
+        would contaminate every ema_eval readout for ~1/(1−d) steps)."""
         self.state = self.state.replace(params=params)
+        if self.ema_decay is not None:
+            self.state = self.state.replace(
+                ema_params=_ema_tree(params),
+                ema_batch_stats=_ema_tree(self.state.batch_stats),
+            )
         self._refresh_frozen_cache()
 
     def _host_params(self):
@@ -348,9 +402,11 @@ class Trainer:
                 for p, m in zip(flat_params, flat_mask)
             ]
         # EMA leaves snapshot the same way; frozen EMA leaves equal the
-        # frozen params exactly (fixed point of the update), so the host
-        # frozen cache serves both trees.
+        # frozen params exactly (fixed point of the update — replace_params
+        # re-seeds the average whenever params are swapped wholesale), so
+        # the host frozen cache serves both trees, cast to the EMA's f32.
         ema_copies = None
+        ebs_copy = None
         if self.ema_decay is not None:
             flat_ema = jax.tree.leaves(self.state.ema_params)
             if flat_mask is None:
@@ -360,6 +416,7 @@ class Trainer:
                     jnp.copy(p) if m else None
                     for p, m in zip(flat_ema, flat_mask)
                 ]
+            ebs_copy = jax.tree.map(jnp.copy, self.state.ema_batch_stats)
         bs_copy = jax.tree.map(jnp.copy, self.state.batch_stats)
         opt_copy = jax.tree.map(
             lambda x: jnp.copy(x) if hasattr(x, "shape") else x,
@@ -368,13 +425,15 @@ class Trainer:
         step_copy = jnp.copy(self.state.step)
         frozen = self._frozen_host
 
-        def _merge(copies):
+        def _merge(copies, cast=None):
             if flat_mask is None:
                 return jax.device_get(copies)
             fetched = jax.device_get([c for c in copies if c is not None])
             it = iter(fetched)
             return [
-                next(it) if m else cached
+                next(it)
+                if m
+                else (cached if cast is None else np.asarray(cached, cast))
                 for m, cached in zip(flat_mask, frozen)
             ]
 
@@ -387,8 +446,9 @@ class Trainer:
             }
             if ema_copies is not None:
                 payload["ema_params"] = jax.tree.unflatten(
-                    treedef, _merge(ema_copies)
+                    treedef, _merge(ema_copies, np.float32)
                 )
+                payload["ema_batch_stats"] = jax.device_get(ebs_copy)
             return payload
 
         return fetch
@@ -414,10 +474,15 @@ class Trainer:
             batch_stats=batch_stats,
         )
         if self.ema_decay is not None:
-            # Distinct buffers, NOT an alias of params: the train step
-            # donates the whole state, and a twice-donated buffer wedges
-            # the backend (observed as a stuck XLA:CPU collective).
-            state = state.replace(ema_params=jax.tree.map(jnp.copy, params))
+            # f32 copies, NOT aliases of params: the train step donates the
+            # whole state, and a twice-donated buffer wedges the backend
+            # (observed as a stuck XLA:CPU collective). batch_stats are
+            # averaged alongside so EMA eval pairs the averaged weights
+            # with matching normalization statistics.
+            state = state.replace(
+                ema_params=_ema_tree(params),
+                ema_batch_stats=_ema_tree(batch_stats),
+            )
         return replicate(state, self.mesh)
 
     # -- steps ------------------------------------------------------------
@@ -474,29 +539,18 @@ class Trainer:
         return loss_fn
 
     def _accum_grads(self, state: TrainState, points, labels, step_key):
-        """Microbatched loss/grad: scan ``grad_accum`` backward passes and
-        average. The (B, ...) batch reshapes to (B/A, A, ...) — row
-        (i, a) = global row i·A + a, so the data-parallel shard axis stays
-        axis 0 and the reshape moves no bytes across devices; moveaxis to
-        scan's leading axis is a device-local transpose. BatchNorm running
-        stats update sequentially per microbatch (torch-convention
-        gradient accumulation); gradients are exact for BN-free models and
-        microbatch-normalized otherwise. Each microbatch folds its index
-        into the dropout/fps rng streams, so rng-consuming models follow a
-        different (equally valid) trajectory than the full-batch step —
-        equivalence holds exactly for deterministic models (verified on
-        the real chip: worst relative param divergence 4e-5 after 4
-        steps)."""
-        accum = self.grad_accum
-        micro = points.shape[0] // accum
-        pts_m = jnp.moveaxis(
-            points.reshape(micro, accum, *points.shape[1:]), 1, 0
-        )
-        lbl_m = jnp.moveaxis(labels.reshape(micro, accum), 1, 0)
+        """Microbatched loss/grad over :func:`scan_microbatches` (the
+        shared DP-layout-preserving reshape + scan + average core).
+        BatchNorm running stats update sequentially per microbatch
+        (torch-convention gradient accumulation); gradients are exact for
+        BN-free models and microbatch-normalized otherwise. Each
+        microbatch folds its index into the dropout/fps rng streams, so
+        rng-consuming models follow a different (equally valid) trajectory
+        than the full-batch step — equivalence holds exactly for
+        deterministic models (verified on the real chip: worst relative
+        param divergence 4e-5 after 4 steps)."""
 
-        def body(carry, xs):
-            stats, grad_sum, loss_sum, correct_sum = carry
-            idx, pts, lbl = xs
+        def run_micro(stats, pts, lbl, idx):
             rngs = {
                 "dropout": jax.random.fold_in(
                     jax.random.fold_in(step_key, 0), idx
@@ -509,20 +563,19 @@ class Trainer:
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
-            correct_sum = correct_sum + jnp.sum(jnp.argmax(logits, -1) == lbl)
-            return (new_stats, grad_sum, loss_sum + loss, correct_sum), None
+            correct = jnp.sum(jnp.argmax(logits, -1) == lbl)
+            return loss, correct, new_stats, grads
 
-        zeros = jax.tree.map(jnp.zeros_like, state.params)
-        (new_stats, grad_sum, loss_sum, correct), _ = jax.lax.scan(
-            body,
-            (state.batch_stats, zeros, jnp.zeros((), jnp.float32),
-             jnp.zeros((), jnp.int32)),
-            (jnp.arange(accum), pts_m, lbl_m),
+        loss, correct, new_stats, grads = scan_microbatches(
+            run_micro,
+            state.batch_stats,
+            points,
+            labels,
+            self.grad_accum,
+            zero_grads=jax.tree.map(jnp.zeros_like, state.params),
+            zero_aux=jnp.zeros((), jnp.int32),
         )
-        inv = jnp.float32(1.0 / accum)
-        grads = jax.tree.map(lambda g: g * inv.astype(g.dtype), grad_sum)
-        return loss_sum * inv, correct, grads, new_stats
+        return loss, correct, grads, new_stats
 
     def _train_step_impl(self, state: TrainState, points, labels, step_key):
         if self.grad_accum > 1:
@@ -546,17 +599,19 @@ class Trainer:
         )
         if self.ema_decay is not None:
             decay = jnp.float32(self.ema_decay)
-            # e·d + (1−d)·p (not e + (1−d)(p−e)): exact p at d=0, and the
-            # f32 accumulate guards bf16 param trees against stagnation.
+            # e·d + (1−d)·p (not e + (1−d)(p−e)): exact p at d=0. The EMA
+            # trees live in f32 (see TrainState) so high-decay averages of
+            # bf16 params can't stagnate on round-away increments.
+            fold = lambda e, p: e * decay + (1.0 - decay) * p.astype(  # noqa: E731
+                jnp.float32
+            )
             new_state = new_state.replace(
                 ema_params=jax.tree.map(
-                    lambda e, p: (
-                        e.astype(jnp.float32) * decay
-                        + (1.0 - decay) * p.astype(jnp.float32)
-                    ).astype(e.dtype),
-                    state.ema_params,
-                    new_state.params,
-                )
+                    fold, state.ema_params, new_state.params
+                ),
+                ema_batch_stats=jax.tree.map(
+                    fold, state.ema_batch_stats, new_state.batch_stats
+                ),
             )
         if self.nan_guard != "skip":
             return new_state, loss, correct, jnp.zeros((), jnp.int32)
@@ -574,11 +629,12 @@ class Trainer:
         return state, loss, correct, (~finite).astype(jnp.int32)
 
     def _eval_step_impl(self, state: TrainState, points, labels, weights):
-        variables = {
-            "params": state.ema_params if self._eval_uses_ema else state.params
-        }
+        use_ema = self._eval_uses_ema
+        variables = {"params": state.ema_params if use_ema else state.params}
         if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+            variables["batch_stats"] = (
+                state.ema_batch_stats if use_ema else state.batch_stats
+            )
         logits = self.model.apply(variables, points, train=False)
         per_example = cross_entropy_loss(
             logits.astype(jnp.float32), labels, self.label_smoothing
@@ -770,13 +826,15 @@ class Trainer:
         )
         if self.ema_decay is not None:
             # Checkpoints written without EMA seed the average from the
-            # restored params (the EMA then converges from there). Copy —
-            # never alias params' buffers in a donated state.
+            # restored params/stats (the EMA then converges from there).
+            # _ema_tree copies — never alias params in a donated state.
             self.state = self.state.replace(
-                ema_params=jax.tree.map(
-                    lambda x: jnp.array(np.asarray(x)),
-                    restored.get("ema_params", restored["params"]),
-                )
+                ema_params=_ema_tree(
+                    restored.get("ema_params", restored["params"])
+                ),
+                ema_batch_stats=_ema_tree(
+                    restored.get("ema_batch_stats", restored["batch_stats"])
+                ),
             )
         self.state = replicate(self.state, self.mesh)
         self._refresh_frozen_cache()
@@ -860,12 +918,13 @@ class Trainer:
 
     def predict(self, points: np.ndarray) -> np.ndarray:
         """Class predictions for a batch of clouds (renderer_trainer.py:431-445)."""
+        use_ema = self._eval_uses_ema
         variables = {
-            "params": self.state.ema_params
-            if self._eval_uses_ema
-            else self.state.params
+            "params": self.state.ema_params if use_ema else self.state.params
         }
         if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
+            variables["batch_stats"] = (
+                self.state.ema_batch_stats if use_ema else self.state.batch_stats
+            )
         logits = self.model.apply(variables, jnp.asarray(points), train=False)
         return np.asarray(jnp.argmax(logits, -1))

@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--family", default=None)
+    ap.add_argument("--raw-weights", action="store_true",
+                    help="export the raw params of an EMA checkpoint "
+                         "instead of the averaged weights")
     ap.add_argument("--points", type=int, default=1024)
     ap.add_argument("--static-batch", type=int, default=0,
                     help="fix the batch dim (default 0 = batch-polymorphic)")
@@ -46,9 +49,13 @@ def main() -> None:
         model_config = json.load(f)["model_config"]
     model = build_model(model_config, family=args.family)
 
-    variables = {"params": raw["params"]}
-    if raw.get("batch_stats"):
-        variables["batch_stats"] = raw["batch_stats"]
+    # EMA checkpoints export their averaged weights/stats by default —
+    # same deployment policy as inference.Classifier and serve
+    ema = not args.raw_weights and isinstance(raw, dict) and "ema_params" in raw
+    variables = {"params": raw["ema_params"] if ema else raw["params"]}
+    stats = (raw.get("ema_batch_stats") if ema else None) or raw.get("batch_stats")
+    if stats:
+        variables["batch_stats"] = stats
     in_ch = model_config.get("in_channels", 3)
     example = jax.ShapeDtypeStruct(
         (max(args.static_batch, 1), args.points, in_ch), jnp.float32

@@ -42,7 +42,8 @@ def _last_json(stdout: str):
     "script,args,keys",
     [
         ("preset_throughput.py", ["exact", "v2", "--tiny"], ["exact", "v2"]),
-        ("train_step_bench.py", ["exact", "slim", "--tiny"], ["exact", "slim"]),
+        ("train_step_bench.py", ["exact", "exact_ga2", "--tiny"],
+         ["exact", "exact_ga2"]),
         ("pix4point_anatomy.py", ["--tiny"], ["full_model_ms", "attention_ms"]),
         ("apf_anatomy.py", ["v2", "--tiny"], ["full_model_ms", "encoder_ms"]),
         (

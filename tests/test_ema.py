@@ -180,3 +180,62 @@ def test_ema_skipped_step_leaves_average(tmp_path):
 def test_invalid_decay_rejected(tmp_path):
     with pytest.raises(ValueError, match="ema_decay"):
         _trainer(tmp_path, name="bad", ema_decay=1.0)
+
+
+class _ToyBN(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(16)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        return nn.Dense(4)(x)
+
+
+def test_replace_params_reseeds_ema(tmp_path):
+    # pretrained loads go through replace_params; the EMA (and its stats)
+    # must re-seed from the new weights, not stay on the random init
+    t = _trainer(tmp_path, name="reseed", ema_decay=0.999)
+    new = jax.tree.map(lambda x: np.asarray(x) + 5.0, jax.device_get(t.state.params))
+    t.replace_params(new)
+    for p, e in zip(
+        jax.tree.leaves(new), jax.tree.leaves(jax.device_get(t.state.ema_params))
+    ):
+        np.testing.assert_allclose(p, e)
+
+
+def test_ema_averages_batch_stats_and_eval_uses_them(tmp_path):
+    d = 0.9
+    t = Trainer(
+        _ToyBN(),
+        train_dataset=_dataset(32), test_dataset=_dataset(8),
+        optimizer=optax.adam(1e-2), batch_size=16, epochs=2,
+        output_dir=str(tmp_path / "bn"), save_best=False,
+        save_config_snapshot=False, prefetch=0, ema_decay=d,
+    )
+    t.train()
+    raw_bs = jax.device_get(t.state.batch_stats)
+    ema_bs = jax.device_get(t.state.ema_batch_stats)
+    # the averaged stats lag the raw running stats (both moved, not equal)
+    leaves_raw = jax.tree.leaves(raw_bs)
+    leaves_ema = jax.tree.leaves(ema_bs)
+    assert leaves_ema and any(
+        not np.array_equal(a, b) for a, b in zip(leaves_raw, leaves_ema)
+    )
+    assert all(np.all(np.isfinite(x)) for x in leaves_ema)
+    # eval routes the averaged stats: zeroing them changes predictions
+    pts = np.stack([x for x, _ in _dataset(16)])
+    before = t.predict(pts)
+    t.state = t.state.replace(
+        ema_batch_stats=jax.tree.map(
+            lambda x: np.full_like(x, 7.0), ema_bs
+        )
+    )
+    after = t.predict(pts)
+    assert not np.array_equal(before, after)
+
+
+def test_ema_trees_are_f32(tmp_path):
+    t = _trainer(tmp_path, name="f32", ema_decay=0.9)
+    t.train()
+    for e in jax.tree.leaves(jax.device_get(t.state.ema_params)):
+        assert e.dtype == np.float32
