@@ -77,6 +77,17 @@ ARMS: dict[str, dict] = {
     # expected to REGRESS. If the instrument accepts this arm too, it has
     # no discriminative power and cannot certify the serving preset.
     "neg_k8": {"nsample": 8},
+    # trainer-level arm (r4-s5): EMA weight averaging ON TOP of the
+    # accepted v2 config. Same architecture and inference cost — the
+    # question is purely whether evaluating the averaged weights beats the
+    # raw ones on this corpus. `trainer.`-prefixed keys go to Trainer, not
+    # the model. decay 0.99 ≈ a 100-step (12-epoch) horizon over the
+    # 480-step run.
+    "v2_ema": {
+        "encoder_second_width": 768,
+        "nsample": 16,
+        "trainer.ema_decay": 0.99,
+    },
 }
 
 MEAN_FLOOR_PP = -1.0   # accept needs mean paired diff ≥ −1 pp
@@ -102,7 +113,13 @@ def _train_once(data, *, seed: int, epochs: int, overrides: dict,
         # cannot bias an accuracy comparison.
         remat_encoder=batch_size >= 256,
     )
-    kwargs.update(overrides)
+    trainer_kwargs = {
+        k[len("trainer."):]: v for k, v in overrides.items()
+        if k.startswith("trainer.")
+    }
+    kwargs.update(
+        {k: v for k, v in overrides.items() if not k.startswith("trainer.")}
+    )
     model = AdaptPointFormer(**kwargs)
 
     steps_per_epoch = len(train_y) // batch_size
@@ -130,6 +147,7 @@ def _train_once(data, *, seed: int, epochs: int, overrides: dict,
         save_interval=0,
         save_best=False,  # curve only; deferred ckpt fetches OOM HBM here
         seed=seed,
+        **trainer_kwargs,
     )
     return float(trainer.train())
 
