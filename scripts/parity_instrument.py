@@ -88,6 +88,15 @@ ARMS: dict[str, dict] = {
         "nsample": 16,
         "trainer.ema_decay": 0.99,
     },
+    # follow-up (declared after v2_ema seeds 0-1 showed ~-15 pp, BEFORE any
+    # v2_ema9 seed ran): decay 0.9 ≈ 10-step (1.2-epoch) horizon — tests
+    # whether the v2_ema regression is "EMA hurts here" or "0.99's
+    # 12-epoch lag never catches the raw peak within 60 epochs".
+    "v2_ema9": {
+        "encoder_second_width": 768,
+        "nsample": 16,
+        "trainer.ema_decay": 0.9,
+    },
 }
 
 MEAN_FLOOR_PP = -1.0   # accept needs mean paired diff ≥ −1 pp
