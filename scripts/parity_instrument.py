@@ -268,7 +268,20 @@ def main() -> None:
                 )
         summary["arms"][arm] = entry
 
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    # Merge, don't clobber: an invocation over a subset of arms must not
+    # drop the other arms' adjudicated entries from summary.json (the bench
+    # adjudicator reads them). Entries from this run win; absent arms keep
+    # their previous entry verbatim.
+    summary_path = os.path.join(args.out, "summary.json")
+    if os.path.exists(summary_path):
+        try:
+            with open(summary_path) as f:
+                prev = json.load(f)
+            for arm, entry in prev.get("arms", {}).items():
+                summary["arms"].setdefault(arm, entry)
+        except (ValueError, OSError):
+            pass
+    with open(summary_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))
 
