@@ -293,13 +293,24 @@ class MicroBatcher:
             self._flush(pending)
 
     def _flush(self, pending) -> None:
-        clouds = np.stack([c for c, _, _ in pending])
-        try:
-            logits = self.session.predict_logits(clouds)
-            for i, (_, done, slot) in enumerate(pending):
+        # Group by cloud shape before stacking: concurrent callers are not
+        # guaranteed to send the same point count, and np.stack over ragged
+        # shapes raises — which would fan one client's odd shape out as an
+        # error to every caller coalesced in the tick (advisor r4). One
+        # stacked dispatch per distinct (N, C) instead.
+        groups: dict[tuple, list] = {}
+        for item in pending:
+            groups.setdefault(tuple(np.shape(item[0])), []).append(item)
+        for group in groups.values():
+            try:
+                logits = self.session.predict_logits(
+                    np.stack([c for c, _, _ in group])
+                )
+            except Exception as e:  # propagate to this group's callers only
+                for _, done, slot in group:
+                    slot[1] = e
+                    done.set()
+                continue
+            for i, (_, done, slot) in enumerate(group):
                 slot[0] = logits[i]
-                done.set()
-        except Exception as e:  # propagate to every blocked caller
-            for _, done, slot in pending:
-                slot[1] = e
                 done.set()

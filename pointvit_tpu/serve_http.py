@@ -48,6 +48,11 @@ class _BadRequest(ValueError):
     """Client error → HTTP 400 with the message in the JSON body."""
 
 
+class _PayloadTooLarge(ValueError):
+    """Body above the configured cap → HTTP 413 (connection closed: the
+    oversized body is never read, so keep-alive reuse would desync)."""
+
+
 def _decode_clouds(body: bytes, content_type: str, *, ndim: int) -> np.ndarray:
     """Request body → float32 array of exactly `ndim` dimensions."""
     if not body:
@@ -88,16 +93,24 @@ class _Handler(BaseHTTPRequestHandler):
         if getattr(self.server, "verbose", False):
             super().log_message(fmt, *args)
 
-    def _send_json(self, code: int, obj: dict) -> None:
+    def _send_json(self, code: int, obj: dict, *, close: bool = False) -> None:
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if close:
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 
     def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length") or 0)
+        cap = getattr(self.server, "max_body_bytes", None)
+        if cap is not None and length > cap:
+            raise _PayloadTooLarge(
+                f"request body {length} bytes exceeds the {cap}-byte cap"
+            )
         return self.rfile.read(length) if length > 0 else b""
 
     def do_GET(self) -> None:  # noqa: N802 — http.server contract
@@ -114,9 +127,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802 — http.server contract
         try:
+            # Drain the body first, whatever the route: with HTTP/1.1
+            # keep-alive, unread body bytes would be parsed as the next
+            # request on a persistent connection (advisor r4).
+            body = self._read_body()
             if self.path == "/v1/classify":
                 cloud = _decode_clouds(
-                    self._read_body(), self.headers.get("Content-Type", ""), ndim=2
+                    body, self.headers.get("Content-Type", ""), ndim=2
                 )
                 logits = self.server.batcher.submit(cloud)
                 self._send_json(200, {
@@ -125,7 +142,7 @@ class _Handler(BaseHTTPRequestHandler):
                 })
             elif self.path == "/v1/classify_batch":
                 clouds = _decode_clouds(
-                    self._read_body(), self.headers.get("Content-Type", ""), ndim=3
+                    body, self.headers.get("Content-Type", ""), ndim=3
                 )
                 logits = self.server.session.predict_logits(clouds)
                 self._send_json(200, {
@@ -134,10 +151,13 @@ class _Handler(BaseHTTPRequestHandler):
                 })
             else:
                 self._send_json(404, {"error": f"unknown route {self.path}"})
+        except _PayloadTooLarge as e:
+            # the body was never read — close so keep-alive can't desync
+            self._send_json(413, {"error": str(e)}, close=True)
         except _BadRequest as e:
             self._send_json(400, {"error": str(e)})
-        except Exception as e:  # model/shape errors surface as client errors
-            self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+        except Exception as e:  # genuine server-side fault, not client error
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
 class ServingServer(ThreadingHTTPServer):
@@ -156,9 +176,11 @@ class ServingServer(ThreadingHTTPServer):
         *,
         max_batch: int = 256,
         max_delay_ms: float = 5.0,
+        max_body_bytes: int = 64 * 1024 * 1024,
         verbose: bool = False,
     ) -> None:
         self.session = session
+        self.max_body_bytes = int(max_body_bytes)
         self.verbose = verbose
         self.batcher = MicroBatcher(
             session, max_batch=max_batch, max_delay_ms=max_delay_ms
@@ -177,13 +199,16 @@ def make_server(
     port: int = 8000,
     max_batch: int = 256,
     max_delay_ms: float = 5.0,
+    max_body_bytes: int = 64 * 1024 * 1024,
     verbose: bool = False,
 ) -> ServingServer:
     """Bind a :class:`ServingServer`; ``port=0`` picks a free port
     (read it back from ``server.server_address[1]``). Call
     ``serve_forever()`` to run and ``shutdown()`` + ``server_close()``
-    to stop."""
+    to stop. Bodies above ``max_body_bytes`` are refused with 413 before
+    any allocation."""
     return ServingServer(
         (host, port), session,
-        max_batch=max_batch, max_delay_ms=max_delay_ms, verbose=verbose,
+        max_batch=max_batch, max_delay_ms=max_delay_ms,
+        max_body_bytes=max_body_bytes, verbose=verbose,
     )

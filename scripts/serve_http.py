@@ -41,6 +41,8 @@ def main() -> None:
                     help="micro-batcher flush size")
     ap.add_argument("--max-delay-ms", type=float, default=5.0,
                     help="micro-batcher latency bound")
+    ap.add_argument("--max-body-mb", type=float, default=64.0,
+                    help="reject request bodies above this size with 413")
     ap.add_argument("--raw-weights", action="store_true",
                     help="serve raw (non-EMA) weights from an EMA checkpoint")
     ap.add_argument("--dp", action="store_true",
@@ -78,6 +80,7 @@ def main() -> None:
     server = make_server(
         session, host=args.host, port=args.port,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        max_body_bytes=int(args.max_body_mb * 1024 * 1024),
         verbose=args.verbose,
     )
     host, port = server.server_address[:2]

@@ -154,6 +154,89 @@ def test_wrong_ndim_is_400(server):
     assert ei.value.code == 400
 
 
+def test_mixed_shape_concurrent_clients(server):
+    """Clients with different point counts coalesced into the same batcher
+    tick must all succeed: _flush groups by shape before stacking (advisor
+    r4 — one odd N used to fan a stack error to every caller)."""
+    _, session, base = server
+    rng = np.random.default_rng(3)
+    clouds = [rng.standard_normal((n, N_CH)).astype(np.float32)
+              for n in (N_POINTS, 48, N_POINTS, 48)]
+    results: list = [None] * len(clouds)
+
+    def worker(i):
+        status, obj = _post(
+            base, "/v1/classify", _npy_bytes(clouds[i]), "application/x-npy")
+        results[i] = (status, np.asarray(obj["logits"]))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(clouds))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i, cloud in enumerate(clouds):
+        status, got = results[i]
+        assert status == 200
+        want = np.asarray(session.predict_logits(cloud[None])[0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_oversized_body_is_413(server):
+    """A huge Content-Length is refused before any allocation, and the
+    connection is closed (the body was never read)."""
+    import http.client
+
+    srv, _, base = server
+    host, port = base.split("//")[1].rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/v1/classify")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(10**12))
+        conn.endheaders()  # never send the body
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "cap" in json.loads(resp.read())["error"]
+        assert resp.getheader("Connection") == "close"
+    finally:
+        conn.close()
+
+
+def test_post_404_keeps_connection_usable(server):
+    """An unknown-route POST with a body must drain the body: on a
+    keep-alive connection the next request has to parse cleanly (advisor
+    r4 — unread bytes used to corrupt the connection)."""
+    import http.client
+
+    _, _, base = server
+    host, port = base.split("//")[1].rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        body = json.dumps({"points": [[0.0] * N_CH] * 4}).encode()
+        conn.request("POST", "/v1/nope", body=body,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        conn.request("GET", "/v1/health")  # same socket
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+
+def test_server_fault_is_500(server):
+    """A cloud that passes request validation but blows up inside the model
+    (wrong channel count) is a server-side fault → 500, not 400."""
+    _, _, base = server
+    bad = np.zeros((N_POINTS, N_CH + 3), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/v1/classify", _npy_bytes(bad), "application/x-npy")
+    assert ei.value.code == 500
+
+
 def test_unknown_route_is_404(server):
     _, _, base = server
     with pytest.raises(urllib.error.HTTPError) as ei:
