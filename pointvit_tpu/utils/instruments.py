@@ -32,8 +32,12 @@ def t95_stats(vals: list[float]) -> dict:
         return {"n": n, "mean": round(mean, 4), "std": None, "ci95": None}
     var = sum((v - mean) ** 2 for v in vals) / (n - 1)
     half = _T95.get(n - 1, 1.96) * math.sqrt(var / n)
+    # ci_half_width makes instrument power a *tracked* quantity (judge r4:
+    # the binding constraint on every architecture verdict is noise, so it
+    # must be visible per arm, not recomputed by readers).
     return {"n": n, "mean": round(mean, 4), "std": round(math.sqrt(var), 4),
-            "ci95": [round(mean - half, 4), round(mean + half, 4)]}
+            "ci95": [round(mean - half, 4), round(mean + half, 4)],
+            "ci_half_width": round(half, 4)}
 
 
 def paired_diffs(arm: dict[int, float], base: dict[int, float]) -> tuple[list[int], list[float]]:

@@ -97,6 +97,14 @@ ARMS: dict[str, dict] = {
         "nsample": 16,
         "trainer.ema_decay": 0.9,
     },
+    # phase-4 (r5): the untried rung of the one axis the instrument ever
+    # ACCEPTED. slim (2E→E, +9.9 pp, CI floor +1.2) halved the second
+    # stack; slim2 halves it again (E/2 = 384) on top of v2's K=16. The
+    # encoder is the largest non-trunk term of the v2 step (16.5 ms of
+    # 82.9 at 85 % roofline, results/ondevice_r4/apf_anatomy.log), so this
+    # is worth ~+10 % end-to-end if it holds accuracy. Declared in
+    # results/parity_r5/PHASE4.md before any seed ran.
+    "slim2": {"encoder_second_width": 384, "nsample": 16},
 }
 
 MEAN_FLOOR_PP = -1.0   # accept needs mean paired diff ≥ −1 pp

@@ -86,6 +86,29 @@ def test_aggregate_pairs_by_seed_not_position(tmp_path):
     assert abs(d["mean"] - (-0.02)) < 1e-9
 
 
+def test_desat_choice_rule():
+    """The declared rung-choice rule: first in-band rung wins; otherwise
+    the rung closest to the band (r5 de-saturation, judge r4 weak #2)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+    rvi = importlib.import_module("renderer_views_instrument")
+
+    # first in-band rung wins even if a later one is more central
+    calib = [
+        {"train": 1024, "noise": 0.25, "fixed_acc": 0.95},
+        {"train": 512, "noise": 0.35, "fixed_acc": 0.89},
+        {"train": 512, "noise": 0.45, "fixed_acc": 0.80},
+    ]
+    assert rvi.desat_choice(calib) == {"train": 512, "noise": 0.35}
+    # none in band → closest to the band boundary
+    calib = [
+        {"train": 1024, "noise": 0.25, "fixed_acc": 0.97},
+        {"train": 512, "noise": 0.35, "fixed_acc": 0.93},
+        {"train": 256, "noise": 0.45, "fixed_acc": 0.55},
+    ]
+    assert rvi.desat_choice(calib) == {"train": 512, "noise": 0.35}
+
+
 def test_aggregate_refutes_when_learned_wins(tmp_path):
     root = str(tmp_path / "rvi")
     for s in range(3):
