@@ -6,6 +6,12 @@ from pointvit_tpu.parallel.pipeline import (
     unstack_block_params,
 )
 from pointvit_tpu.parallel.sequence import ring_mha, ulysses_mha
+from pointvit_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    per_device_bytes,
+    replicated_bytes,
+    shard_fsdp,
+)
 from pointvit_tpu.parallel.expert import (
     init_moe_params,
     moe_ffn,
@@ -25,6 +31,10 @@ from pointvit_tpu.parallel.mesh import (
 __all__ = [
     "batch_shard_map",
     "batch_sharding",
+    "fsdp_shardings",
+    "per_device_bytes",
+    "replicated_bytes",
+    "shard_fsdp",
     "make_hybrid_mesh",
     "make_mesh",
     "make_multihost_mesh",

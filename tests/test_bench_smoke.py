@@ -52,6 +52,8 @@ def _last_json(stdout: str):
             ["fused_blocks_ms", "attn_only_ms", "speedup"],
         ),
         ("serve_bench.py", ["--tiny", "--preset", "v2"], ["buckets"]),
+        ("serve_http_bench.py", ["--tiny", "--preset", "v2"],
+         ["online_npy", "online_json", "batch_npy"]),
         (
             "pix4point_bench.py",
             ["--batch", "4", "--points", "256", "--iters", "1"],
