@@ -136,6 +136,7 @@ class RendererTrainer(Trainer):
             grad_accum=train_config.get("grad_accum", 1),
             ema_decay=train_config.get("ema_decay"),
             ema_eval=train_config.get("ema_eval", True),
+            fsdp=train_config.get("fsdp", False),
         )
 
         if model_config.get("pretrained", True):

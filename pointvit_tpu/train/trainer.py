@@ -212,6 +212,7 @@ class Trainer:
         grad_accum: int = 1,
         ema_decay: float | None = None,
         ema_eval: bool = True,
+        fsdp: bool = False,
     ) -> None:
         from pointvit_tpu.data.loader import Loader
 
@@ -268,6 +269,12 @@ class Trainer:
         self._eval_uses_ema = ema_decay is not None and ema_eval
         self._base_key = jax.random.PRNGKey(seed)
 
+        # FSDP/ZeRO (r5): shard params + optimizer state over the data axis
+        # instead of replicating (parallel/fsdp.py). Same jitted step —
+        # GSPMD compiles it to gather-on-use + reduce-scatter. The win is
+        # per-device state memory (the renderer's vit_l_16 trunk carries
+        # ~3.6 GB of replicated f32 params+moments under plain DP).
+        self.fsdp = bool(fsdp)
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = len(self.mesh.devices.flatten())
         if batch_size % n_dev:
@@ -483,7 +490,35 @@ class Trainer:
                 ema_params=_ema_tree(params),
                 ema_batch_stats=_ema_tree(batch_stats),
             )
-        return replicate(state, self.mesh)
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        """Device placement policy: replicate (DP) or shard params + opt
+        state over the data axis (FSDP/ZeRO, ``fsdp=True``)."""
+        if not self.fsdp:
+            return replicate(state, self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pointvit_tpu.parallel.fsdp import shard_fsdp
+
+        repl = NamedSharding(self.mesh, P())
+
+        def maybe_shard(tree):
+            return shard_fsdp(tree, self.mesh) if tree is not None else None
+
+        return state.replace(
+            params=maybe_shard(state.params),
+            opt_state=maybe_shard(state.opt_state),
+            ema_params=maybe_shard(state.ema_params),
+            # the shape rule gives EMA trees their param's exact layout, so
+            # the in-step EMA fold stays collective-free
+            ema_batch_stats=(
+                jax.device_put(state.ema_batch_stats, repl)
+                if state.ema_batch_stats is not None else None
+            ),
+            batch_stats=jax.device_put(state.batch_stats, repl),
+            step=jax.device_put(state.step, repl),
+        )
 
     # -- steps ------------------------------------------------------------
 
@@ -836,7 +871,7 @@ class Trainer:
                     restored.get("ema_batch_stats", restored["batch_stats"])
                 ),
             )
-        self.state = replicate(self.state, self.mesh)
+        self.state = self._place_state(self.state)
         self._refresh_frozen_cache()
         # Resume bookkeeping: continue the epoch loop after the restored
         # epoch, don't regress the best-checkpoint bar, and append to (not
