@@ -38,6 +38,7 @@ PRESETS = {
     "slim": {"encoder_second_width": 768},
     "v2": {"encoder_second_width": 768, "nsample": 16},
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
+    "slim2": {"encoder_second_width": 384, "nsample": 16},
 }
 
 

@@ -36,6 +36,8 @@ ARMS: dict[str, dict] = {
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
     "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
     "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
+    # phase-4 (r5): second halving of the second stack on top of v2
+    "slim2": {"encoder_second_width": 384, "nsample": 16},
 }
 
 
@@ -63,7 +65,7 @@ def main() -> None:
         if tiny:
             kwargs.update(embedding_dim=64, npoint=32, depth=2, num_heads=4,
                           dtype=jnp.float32)
-            if ARMS[arm].get("encoder_second_width") == 768:
+            if ARMS[arm].get("encoder_second_width") is not None:
                 kwargs["encoder_second_width"] = 64
             if ARMS[arm].get("npoint") == 160:
                 kwargs["npoint"] = 24
