@@ -60,7 +60,7 @@ def main() -> None:
     # scripts/parity_instrument.py, results/parity_r3/summary.json); the
     # reference-exact architecture is always available via
     # POINTVIT_BENCH_EXACT=1, and any instrument arm via
-    # POINTVIT_BENCH_PRESET=<exact|slim|v2|k24|g160|slim_k24|stack|v3>.
+    # POINTVIT_BENCH_PRESET=<exact|slim|v2|k24|g160|slim_k24|stack|v3|slim2>.
     PRESETS = {
         "exact": {},
         "slim": {"encoder_second_width": 768},

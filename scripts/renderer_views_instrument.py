@@ -143,7 +143,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--arms", default="fixed,learned")
     ap.add_argument("--train", type=int, default=2048)
-    ap.add_argument("--test", type=int, default=1024)
+    # 2048 test clouds (r5): eval noise halves vs the r3 protocol's 1024 —
+    # the de-saturated corpus has real per-seed variance, so the paired CI
+    # needs the power (same reasoning as the parity instrument's p2 test
+    # split upgrade, results/parity_r5/PHASE4.md).
+    ap.add_argument("--test", type=int, default=2048)
     ap.add_argument("--points", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=64,
                     help="bs >= 64 is the TPU-efficient renderer regime "
