@@ -42,6 +42,13 @@ from pointvit_tpu.utils.instruments import (  # noqa: E402
 ARMS: dict[str, dict] = {
     "fixed": {"diff_renderer": False},
     "learned": {"diff_renderer": True},
+    # negative control (r5): one fixed view instead of five starves the
+    # multi-view aggregation of geometry — expected to REGRESS clearly.
+    # Same role as the parity instrument's neg_k8: if the instrument cannot
+    # detect THIS, its fixed-vs-learned verdict carries no power. num_views
+    # is a constructor knob, not a module flag, so arm dicts may carry it;
+    # _train_once pops it out of the override set.
+    "neg_views1": {"diff_renderer": False, "num_views": 1},
 }
 
 # --auto-desaturate difficulty ladder (r5, judge r4 weak #2): the r3 corpus
@@ -94,6 +101,8 @@ def _train_once(data, *, seed: int, epochs: int, overrides: dict,
     from pointvit_tpu.train.trainer import Trainer, build_optimizer
 
     train_pts, train_y, test_pts, test_y = data
+    overrides = dict(overrides)  # arms may carry constructor knobs; pop them
+    num_views = overrides.pop("num_views", num_views)
     # Reference headline geometry: num_views 5, adapter 64, view_transform 64
     # (results/renderer/num_views_5_diff_*_adapter_64_view_transform_64).
     model = PointCloudRendererClassifier(
@@ -141,7 +150,7 @@ def main() -> None:
     ap.add_argument("--seed-start", type=int, default=0)
     ap.add_argument("--aggregate-only", action="store_true")
     ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--arms", default="fixed,learned")
+    ap.add_argument("--arms", default="fixed,learned,neg_views1")
     ap.add_argument("--train", type=int, default=2048)
     # 2048 test clouds (r5): eval noise halves vs the r3 protocol's 1024 —
     # the de-saturated corpus has real per-seed variance, so the paired CI
@@ -293,7 +302,17 @@ def main() -> None:
             if d["n"] >= 1:
                 entry["paired_diff_vs_fixed"] = d
             if d["n"] >= 2:
-                entry["reference_finding_reproduced"] = bool(d["mean"] * 100 <= 1.0)
+                if arm.startswith("neg_"):
+                    # power rail, not a hypothesis arm: the instrument must
+                    # DETECT this known regression (mean clearly negative)
+                    # for the fixed-vs-learned verdict to carry information
+                    entry["negative_control_regresses"] = bool(
+                        d["mean"] * 100 <= -1.0
+                    )
+                else:
+                    entry["reference_finding_reproduced"] = bool(
+                        d["mean"] * 100 <= 1.0
+                    )
         summary["arms"][arm] = entry
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -86,6 +86,43 @@ def test_aggregate_pairs_by_seed_not_position(tmp_path):
     assert abs(d["mean"] - (-0.02)) < 1e-9
 
 
+def test_negative_control_verdict(tmp_path):
+    """neg_* arms get a power verdict (regression detected), never the
+    reproduction key — and a non-regressing control reports False."""
+    root = str(tmp_path / "rvi")
+    for s, (f, l, n1) in enumerate(
+            [(0.80, 0.78, 0.60), (0.82, 0.80, 0.62), (0.79, 0.77, 0.58)]):
+        _write_run(root, "fixed", s, [0.5, 0.6, f])
+        _write_run(root, "learned", s, [0.5, 0.6, l])
+        _write_run(root, "neg_views1", s, [0.5, 0.5, n1])
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--aggregate-only", "--epochs", "3",
+         "--arms", "fixed,learned,neg_views1", "--out", root],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    summary = json.load(open(os.path.join(root, "summary.json")))
+    neg = summary["arms"]["neg_views1"]
+    assert neg["negative_control_regresses"] is True
+    assert "reference_finding_reproduced" not in neg
+    assert summary["arms"]["learned"]["reference_finding_reproduced"] is True
+
+    # a control that does NOT regress must report False (instrument has no
+    # power) — overwrite the neg runs at fixed-level accuracy
+    for s in range(3):
+        _write_run(root, "neg_views1", s, [0.5, 0.5, 0.81])
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--aggregate-only", "--epochs", "3",
+         "--arms", "fixed,learned,neg_views1", "--out", root],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    summary = json.load(open(os.path.join(root, "summary.json")))
+    assert summary["arms"]["neg_views1"]["negative_control_regresses"] is False
+
+
 def test_desat_choice_rule():
     """The declared rung-choice rule: first in-band rung wins; otherwise
     the rung closest to the band (r5 de-saturation, judge r4 weak #2)."""
