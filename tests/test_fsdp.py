@@ -238,6 +238,25 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
             np.testing.assert_allclose(x, y, rtol=0, atol=0)
 
 
+def test_trainer_fsdp_composes_with_accum_and_ema(tmp_path):
+    """fsdp=True with grad_accum + EMA in the same step must reproduce the
+    replicated trainer exactly: the EMA fold runs on sharded trees (same
+    layout as params — the shape rule guarantees it) and scan-microbatching
+    reshapes only the batch axis."""
+    kw = dict(grad_accum=2, ema_decay=0.9)
+    with jax.default_matmul_precision("highest"):
+        t_dp = _toy_trainer(tmp_path, "dp_gaema", **kw)
+        acc_dp = t_dp.train()
+        t_f = _toy_trainer(tmp_path, "fsdp_gaema", fsdp=True, **kw)
+        acc_f = t_f.train()
+    assert abs(acc_dp - acc_f) < 1e-6
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(t_dp.state.ema_params)),
+        jax.tree.leaves(jax.device_get(t_f.state.ema_params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
 def test_fsdp_tiny_leaves_replicated():
     """Biases / LayerNorm scales below the element floor stay replicated."""
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))

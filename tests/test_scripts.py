@@ -59,6 +59,32 @@ def test_render_sample_script(tmp_path):
     assert os.path.exists(out)
 
 
+def test_bench_resolves_modelnet40_drop(tmp_path, monkeypatch):
+    """bench.py uses real ModelNet40 clouds (first-N-points protocol, tiled
+    to the batch) when a drop exists, synthetic otherwise — and says which
+    in the returned data kind (the JSON line's "data" field)."""
+    import importlib.util
+
+    from pointvit_tpu.data.synthetic import write_modelnet40_h5
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(_REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setenv("POINTVIT_MODELNET40", str(tmp_path / "absent"))
+    pts, kind = bench.resolve_bench_clouds(8, 64)
+    assert kind == "synthetic" and pts.shape == (8, 64, 3)
+
+    root = str(tmp_path / "mn40")
+    write_modelnet40_h5(root, num_train=4, num_test=4, num_points=128)
+    monkeypatch.setenv("POINTVIT_MODELNET40", root)
+    pts, kind = bench.resolve_bench_clouds(8, 64)  # 4 test clouds tile to 8
+    assert kind == "modelnet40" and pts.shape == (8, 64, 3)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(pts[0]), np.asarray(pts[4]))
+
+
 def test_sampler_bench_module():
     r = _run(["-c",
               "import jax; jax.config.update('jax_platforms','cpu');"
