@@ -170,3 +170,20 @@ def test_bench_presets_match_parity_instrument_arms():
         assert overrides == inst.ARMS[name], name
     default = src.split('DEFAULT_PRESET = "')[1].split('"')[0]
     assert default in presets
+
+    # The benchmark-side preset tables must be subsets of the instrument's
+    # adjudicated arms too — a bench measuring an arm the instrument never
+    # scored would put unadjudicated numbers in the ledger.
+    for bench_file in ("preset_throughput.py", "train_step_bench.py",
+                       "serve_bench.py", "serve_http_bench.py"):
+        mod = _load(
+            bench_file[:-3], os.path.join(_REPO, "benchmarks", bench_file))
+        table = getattr(mod, "ARMS", None) or getattr(mod, "PRESETS")
+        for name, overrides in table.items():
+            model_keys = {
+                k: v for k, v in overrides.items()
+                if k not in ("remat_encoder", "grad_accum")  # memory arms
+            }
+            base = name.split("_ga")[0] if "_ga" in name else name
+            assert base in inst.ARMS, f"{bench_file} arm {name!r} not adjudicated"
+            assert model_keys == inst.ARMS[base], (bench_file, name)
