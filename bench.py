@@ -102,12 +102,13 @@ def main() -> None:
         "slim2": {"encoder_second_width": 384, "nsample": 16},
     }
     # The default is set mechanically by scripts/adjudicate_bench_default.py
-    # (results/parity_r3/bench_default_decision.json): fastest arm that is
+    # (results/parity_r5/bench_default_decision.json): fastest arm that is
     # BOTH instrument-ACCEPTED and has a *measured* on-device clouds/s, with
-    # the neg_k8 negative control verified REJECTED. As of r4 that is v2
-    # (accepted +7.4 pp, CI [+2.8, +12.1]; measured 3094.1 clouds/s by
-    # benchmarks/preset_throughput.py, confirmed 3091.6 by this script).
-    DEFAULT_PRESET = "v2"
+    # the neg_k8 negative control verified REJECTED. As of r5 that is slim2
+    # (phase-4, protocol p2: accepted +1.65 pp at n=10 paired seeds, CI
+    # [-2.59, +5.89]; measured 3320.6 clouds/s by
+    # benchmarks/preset_throughput.py).
+    DEFAULT_PRESET = "slim2"
     name = os.environ.get("POINTVIT_BENCH_PRESET", DEFAULT_PRESET)
     if os.environ.get("POINTVIT_BENCH_EXACT", "") == "1":
         name = "exact"
