@@ -102,8 +102,8 @@ def main() -> None:
         "bf16": True,
     }
     # Default to the adjudicated serving default (bench.py DEFAULT_PRESET is
-    # v2 as of r4) so the overhead delta lands on the number that ships.
-    preset = "v2"
+    # slim2 as of r5) so the overhead delta lands on the number that ships.
+    preset = "slim2"
     if "--preset" in sys.argv:
         preset = sys.argv[sys.argv.index("--preset") + 1]
     model_config.update(PRESETS[preset])
