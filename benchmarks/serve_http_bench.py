@@ -44,15 +44,23 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def _post(base: str, path: str, body: bytes, ctype: str) -> dict:
+def _post(base: str, path: str, body: bytes, ctype: str,
+          accept: str | None = None) -> object:
+    headers = {"Content-Type": ctype}
+    if accept:
+        headers["Accept"] = accept
     req = urllib.request.Request(
-        base + path, data=body, headers={"Content-Type": ctype}, method="POST"
+        base + path, data=body, headers=headers, method="POST"
     )
     with urllib.request.urlopen(req, timeout=300) as resp:
-        return json.loads(resp.read())
+        raw = resp.read()
+    if accept:  # binary .npy response — just consume it
+        return raw
+    return json.loads(raw)
 
 
-def _online(base: str, bodies: list[bytes], ctype: str, conc: int) -> dict:
+def _online(base: str, bodies: list[bytes], ctype: str, conc: int,
+            accept: str | None = None) -> dict:
     """conc threads drain the request list; aggregate clouds/s + latency."""
     n = len(bodies)
     lat = [0.0] * n
@@ -67,7 +75,7 @@ def _online(base: str, bodies: list[bytes], ctype: str, conc: int) -> dict:
                     return
                 nxt[0] += 1
             t0 = time.perf_counter()
-            _post(base, "/v1/classify", bodies[i], ctype)
+            _post(base, "/v1/classify", bodies[i], ctype, accept)
             lat[i] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -144,6 +152,15 @@ def main() -> None:
               f"p50 {out['online_npy']['p50_ms']:.1f} ms, "
               f"p95 {out['online_npy']['p95_ms']:.1f} ms", flush=True)
 
+        # binary both ways: .npy request AND .npy response (r5 negotiation)
+        out["online_npy2"] = _online(
+            base, npy_bodies, "application/x-npy", conc,
+            accept="application/x-npy")
+        print(f"online npy2 (conc {conc}): "
+              f"{out['online_npy2']['clouds_per_sec']:.1f} clouds/s, "
+              f"p50 {out['online_npy2']['p50_ms']:.1f} ms, "
+              f"p95 {out['online_npy2']['p95_ms']:.1f} ms", flush=True)
+
         json_bodies = [
             json.dumps({"points": c.tolist()}).encode() for c in clouds
         ]
@@ -153,24 +170,29 @@ def main() -> None:
               f"p50 {out['online_json']['p50_ms']:.1f} ms, "
               f"p95 {out['online_json']['p95_ms']:.1f} ms", flush=True)
 
-        # Batch endpoint at the biggest bucket (the offline-path equivalent).
+        # Batch endpoint at the biggest bucket (the offline-path
+        # equivalent), with JSON and binary response encodings.
         b = buckets[-1]
         batch = rng.standard_normal((b, num_points, 3)).astype(np.float32)
         body = _npy_bytes(batch)
-        _post(base, "/v1/classify_batch", body, "application/x-npy")  # warm
         iters = 2 if tiny else 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            _post(base, "/v1/classify_batch", body, "application/x-npy")
-        per = (time.perf_counter() - t0) / iters
-        out["batch_npy"] = {
-            "batch": b,
-            "clouds_per_sec": round(b / per, 1),
-            "roundtrip_ms": round(per * 1e3, 2),
-        }
-        print(f"batch {b} npy: {out['batch_npy']['clouds_per_sec']:.1f} "
-              f"clouds/s ({out['batch_npy']['roundtrip_ms']:.1f} ms/req)",
-              flush=True)
+        for tag, accept in (("batch_npy", None),
+                            ("batch_npy2", "application/x-npy")):
+            _post(base, "/v1/classify_batch", body, "application/x-npy",
+                  accept)  # warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _post(base, "/v1/classify_batch", body, "application/x-npy",
+                      accept)
+            per = (time.perf_counter() - t0) / iters
+            out[tag] = {
+                "batch": b,
+                "clouds_per_sec": round(b / per, 1),
+                "roundtrip_ms": round(per * 1e3, 2),
+            }
+            print(f"{tag} {b}: {out[tag]['clouds_per_sec']:.1f} "
+                  f"clouds/s ({out[tag]['roundtrip_ms']:.1f} ms/req)",
+                  flush=True)
     finally:
         server.shutdown()
         server.server_close()

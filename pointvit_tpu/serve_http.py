@@ -28,7 +28,14 @@ Endpoints
   encodings. → ``{"class_ids": [...], "logits": [[...], ...]}``. Goes
   straight to the session's padded bucket ladder (it is already a batch).
 
-Malformed bodies get ``400 {"error": ...}``; unknown routes ``404``.
+Both POST endpoints honour ``Accept: application/x-npy`` (or
+octet-stream) by responding with a binary float32 ``.npy`` logits array
+instead of JSON (``/v1/classify`` adds an ``X-Class-Id`` header) —
+measured on device, float64-JSON-text logits dominate the batch
+endpoint's round-trip, so throughput clients should use binary both ways.
+
+Malformed bodies get ``400 {"error": ...}``; unknown routes ``404``;
+oversized bodies ``413``; server-side faults ``500``.
 """
 
 from __future__ import annotations
@@ -93,6 +100,27 @@ class _Handler(BaseHTTPRequestHandler):
         if getattr(self.server, "verbose", False):
             super().log_message(fmt, *args)
 
+    def _wants_npy(self) -> bool:
+        """Content negotiation: ``Accept: application/x-npy`` (or
+        octet-stream) asks for binary little-endian ``.npy`` responses —
+        measured on device (r5): float64-JSON-text logits dominate the
+        batch endpoint's round-trip, and binary responses remove that
+        entirely for throughput clients."""
+        accept = self.headers.get("Accept", "")
+        return "x-npy" in accept or "octet-stream" in accept
+
+    def _send_npy(self, arr: np.ndarray, headers: dict[str, str]) -> None:
+        buf = io.BytesIO()
+        np.save(buf, np.ascontiguousarray(arr, dtype=np.float32))
+        body = buf.getvalue()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-npy")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in headers.items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
     def _send_json(self, code: int, obj: dict, *, close: bool = False) -> None:
         body = json.dumps(obj).encode()
         self.send_response(code)
@@ -136,19 +164,27 @@ class _Handler(BaseHTTPRequestHandler):
                     body, self.headers.get("Content-Type", ""), ndim=2
                 )
                 logits = self.server.batcher.submit(cloud)
-                self._send_json(200, {
-                    "class_id": int(np.argmax(logits)),
-                    "logits": np.asarray(logits, dtype=np.float64).tolist(),
-                })
+                if self._wants_npy():
+                    self._send_npy(np.asarray(logits), {
+                        "X-Class-Id": str(int(np.argmax(logits))),
+                    })
+                else:
+                    self._send_json(200, {
+                        "class_id": int(np.argmax(logits)),
+                        "logits": np.asarray(logits, dtype=np.float64).tolist(),
+                    })
             elif self.path == "/v1/classify_batch":
                 clouds = _decode_clouds(
                     body, self.headers.get("Content-Type", ""), ndim=3
                 )
                 logits = self.server.session.predict_logits(clouds)
-                self._send_json(200, {
-                    "class_ids": np.argmax(logits, axis=-1).astype(int).tolist(),
-                    "logits": np.asarray(logits, dtype=np.float64).tolist(),
-                })
+                if self._wants_npy():
+                    self._send_npy(np.asarray(logits), {})
+                else:
+                    self._send_json(200, {
+                        "class_ids": np.argmax(logits, axis=-1).astype(int).tolist(),
+                        "logits": np.asarray(logits, dtype=np.float64).tolist(),
+                    })
             else:
                 self._send_json(404, {"error": f"unknown route {self.path}"})
         except _PayloadTooLarge as e:

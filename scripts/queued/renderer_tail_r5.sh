@@ -71,6 +71,9 @@ timeout 900 python scripts/renderer_views_instrument.py --auto-desaturate \
 stage serve_http_bench 7200 python benchmarks/serve_http_bench.py
 # the new default's training-step number (slim2 became bench default r5)
 stage train_step_slim2 5400 python benchmarks/train_step_bench.py slim2 v2
+# re-measure the front door with the r5 binary-response negotiation
+# (the first measurement showed float64-JSON logits dominate round-trips)
+stage serve_http_bench_npy 5400 python benchmarks/serve_http_bench.py
 stage pytest_tpu 14400 \
   env POINTVIT_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
 log "tail chain exiting"

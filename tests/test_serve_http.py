@@ -154,6 +154,40 @@ def test_wrong_ndim_is_400(server):
     assert ei.value.code == 400
 
 
+def test_npy_response_negotiation(server):
+    """Accept: application/x-npy returns binary f32 logits (classify adds
+    X-Class-Id); values match the JSON path bit-for-bit at f32."""
+    _, session, base = server
+    cloud = np.random.default_rng(5).standard_normal(
+        (N_POINTS, N_CH)).astype(np.float32)
+    want = np.asarray(session.predict_logits(cloud[None])[0], np.float32)
+
+    req = urllib.request.Request(
+        base + "/v1/classify", data=_npy_bytes(cloud),
+        headers={"Content-Type": "application/x-npy",
+                 "Accept": "application/x-npy"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.headers["Content-Type"] == "application/x-npy"
+        class_id = int(resp.headers["X-Class-Id"])
+        got = np.load(io.BytesIO(resp.read()))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert class_id == int(np.argmax(want))
+
+    clouds = np.stack([cloud, cloud * 0.5])
+    req = urllib.request.Request(
+        base + "/v1/classify_batch", data=_npy_bytes(clouds),
+        headers={"Content-Type": "application/x-npy",
+                 "Accept": "application/octet-stream"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        got = np.load(io.BytesIO(resp.read()))
+    assert got.shape == (2, N_CLASSES) and got.dtype == np.float32
+    want2 = np.asarray(session.predict_logits(clouds), np.float32)
+    np.testing.assert_allclose(got, want2, rtol=1e-5, atol=1e-5)
+
+
 def test_mixed_shape_concurrent_clients(server):
     """Clients with different point counts coalesced into the same batcher
     tick must all succeed: _flush groups by shape before stacking (advisor
