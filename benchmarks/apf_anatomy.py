@@ -46,6 +46,8 @@ PRESETS = {
     "slim_k24": {"encoder_second_width": 768, "nsample": 24},
     "stack": {"encoder_second_width": 768, "nsample": 24, "npoint": 160},
     "v3": {"encoder_second_width": 768, "nsample": 16, "npoint": 160},
+    # r5 adjudicated default (phase-4): second width halving on top of v2
+    "slim2": {"encoder_second_width": 384, "nsample": 16},
 }
 
 
