@@ -257,6 +257,27 @@ def test_trainer_fsdp_composes_with_accum_and_ema(tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_fsdp_checkpoint_serves(tmp_path):
+    """The deployment loop from FSDP training: a checkpoint written by an
+    FSDP trainer restores into InferenceSession (host-gathered msgpack is
+    layout-agnostic) and predicts identically to the trainer's own eval."""
+    from pointvit_tpu.serve import InferenceSession
+
+    t = _toy_trainer(tmp_path, "fsdp_serve", fsdp=True, save_interval=1)
+    t.train()
+    import glob
+    ckpt = sorted(glob.glob(str(tmp_path / "fsdp_serve" / "*.msgpack")))[-1]
+    session = InferenceSession.from_checkpoint(
+        ckpt, model=_Toy(), buckets=(4, 8))
+    clouds = np.stack([c for c, _ in _dataset(8)])
+    want = np.asarray(
+        jax.jit(lambda p, x: _Toy().apply({"params": p}, x))(
+            jax.device_get(t.state.params), clouds)
+    )
+    got = session.predict_logits(clouds)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_fsdp_tiny_leaves_replicated():
     """Biases / LayerNorm scales below the element floor stay replicated."""
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
